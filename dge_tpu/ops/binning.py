@@ -1,0 +1,133 @@
+"""Tile binning: depth-global sort + capped per-tile Gaussian lists.
+
+TPU-first replacement for the reference's dynamic-size binning pipeline
+(cuda_rasterizer/rasterizer_impl.cu:179-285: InclusiveSum -> duplicateWithKeys
+-> cub radix sort over [tileID|depth] keys -> identifyTileRanges). The GPU
+path allocates data-dependent buffers and syncs ``num_rendered`` to the host;
+XLA needs static shapes, so instead we:
+
+1. depth-sort all (padded) Gaussians once per view with ``jnp.argsort``
+   (culled/dead rows get +inf keys). Per-tile relative order of a global
+   depth sort equals the reference's per-tile depth sort.
+2. build capped per-tile index lists [num_tiles, max_per_tile] via a chunked
+   intersect-test + prefix-sum compaction scan. Overflow beyond the cap is
+   dropped far-to-near-last (the farthest excess Gaussians are the ones that
+   would be occluded anyway) and reported in ``spill`` for diagnostics —
+   the "no silent caps" rule.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileBins(NamedTuple):
+    lists: jnp.ndarray  # [T, K] int32 indices into the depth-sorted arrays
+    counts: jnp.ndarray  # [T] int32 number of valid entries (may exceed... no: capped)
+    order: jnp.ndarray  # [N] int32 depth-sort permutation
+    spill: jnp.ndarray  # scalar int32 total overflow dropped across tiles
+    tiles_x: int
+    tiles_y: int
+
+
+def tile_rects(mean2d, radius, visible, tile_px, tiles_x, tiles_y):
+    """Conservative tile bbox per Gaussian (getRect, auxiliary.h:45-56)."""
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_px), 0, tiles_x)
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_px), 0, tiles_y)
+    x1 = jnp.clip(
+        jnp.floor((mean2d[:, 0] + radius + tile_px - 1) / tile_px), 0, tiles_x
+    )
+    y1 = jnp.clip(
+        jnp.floor((mean2d[:, 1] + radius + tile_px - 1) / tile_px), 0, tiles_y
+    )
+    empty = ((x1 - x0) * (y1 - y0)) == 0
+    vis = visible & ~empty
+    return x0.astype(jnp.int32), x1.astype(jnp.int32), y0.astype(jnp.int32), y1.astype(
+        jnp.int32
+    ), vis
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,
+    depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    visible: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    tile_px: int = 32,
+    max_per_tile: int = 2048,
+    chunk: int = 2048,
+) -> TileBins:
+    n = mean2d.shape[0]
+    tiles_x = -(-width // tile_px)
+    tiles_y = -(-height // tile_px)
+    num_tiles = tiles_x * tiles_y
+
+    sort_key = jnp.where(visible, depth, jnp.inf)
+    order = jnp.argsort(sort_key)  # [N] front-to-back, culled last
+
+    mean_s = mean2d[order]
+    rad_s = radius[order]
+    vis_s = visible[order]
+
+    x0, x1, y0, y1, vis_s = tile_rects(
+        mean_s, rad_s, vis_s, tile_px, tiles_x, tiles_y
+    )
+
+    tx = jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x  # [T]
+    ty = jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x
+
+    n_pad = -(-n // chunk) * chunk
+    pad = n_pad - n
+
+    def pad0(a, fill=0):
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
+
+    x0c = pad0(x0).reshape(-1, chunk)
+    x1c = pad0(x1).reshape(-1, chunk)
+    y0c = pad0(y0).reshape(-1, chunk)
+    y1c = pad0(y1).reshape(-1, chunk)
+    visc = pad0(vis_s, False).reshape(-1, chunk)
+
+    tile_rows = jnp.broadcast_to(jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
+                                 (num_tiles, chunk))
+
+    def body(carry, xs):
+        lists, offsets = carry
+        cx0, cx1, cy0, cy1, cvis, base = xs
+        hit = (
+            cvis[None, :]
+            & (tx[:, None] >= cx0[None, :])
+            & (tx[:, None] < cx1[None, :])
+            & (ty[:, None] >= cy0[None, :])
+            & (ty[:, None] < cy1[None, :])
+        )  # [T, C]
+        pos = offsets[:, None] + jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1
+        pos = jnp.where(hit, pos, -1)  # dropped by scatter mode
+        vals = base + jnp.arange(chunk, dtype=jnp.int32)
+        lists = lists.at[tile_rows, pos].set(
+            jnp.broadcast_to(vals[None, :], hit.shape), mode="drop"
+        )
+        offsets = offsets + jnp.sum(hit, axis=1, dtype=jnp.int32)
+        return (lists, offsets), None
+
+    lists0 = jnp.zeros((num_tiles, max_per_tile), dtype=jnp.int32)
+    offsets0 = jnp.zeros((num_tiles,), dtype=jnp.int32)
+    bases = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
+    (lists, offsets), _ = jax.lax.scan(
+        body, (lists0, offsets0), (x0c, x1c, y0c, y1c, visc, bases)
+    )
+    counts = jnp.minimum(offsets, max_per_tile)
+    spill = jnp.sum(jnp.maximum(offsets - max_per_tile, 0))
+    return TileBins(
+        lists=lists,
+        counts=counts,
+        order=order,
+        spill=spill,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+    )

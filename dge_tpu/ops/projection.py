@@ -1,0 +1,198 @@
+"""Per-Gaussian preprocessing: cull, project, covariance, color.
+
+Vectorized jnp re-implementation of the reference preprocess kernel
+(cuda_rasterizer/forward.cu:74-256). Everything is a large batched op over
+the padded Gaussian buffer — MXU/VPU friendly, differentiable by XLA autodiff
+(no hand-written backward needed; the CUDA chain rules in backward.cu:144-398
+fall out of jax.grad).
+
+Conventions:
+- ``ndc2pix(v, S) = ((v + 1) S - 1) / 2`` (auxiliary.h:40-43)
+- near-cull at view z <= 0.2 (auxiliary.h in_frustum)
+- EWA low-pass: += 0.3 on cov2D diagonal (forward.cu:110-111)
+- radius = ceil(3 sqrt(max eigenvalue)) (forward.cu:229-232)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dge_tpu.ops import sh as sh_ops
+
+NEAR_Z = 0.2
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (padded to capacity)."""
+
+    mean2d: jnp.ndarray  # [N, 2] pixel coords
+    depth: jnp.ndarray  # [N] view-space z
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # [N] float pixel radius (0 for culled)
+    rgb: jnp.ndarray  # [N, 3]
+    opacity: jnp.ndarray  # [N]
+    visible: jnp.ndarray  # [N] bool
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """wxyz quaternion(s) to rotation matrices, [... ,4] -> [..., 3, 3].
+    Matches build_rotation (general_utils.py:78-98) / computeCov3D
+    (forward.cu:133-138)."""
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z),
+            2 * (x * y - r * z),
+            2 * (x * z + r * y),
+            2 * (x * y + r * z),
+            1 - 2 * (x * x + z * z),
+            2 * (y * z - r * x),
+            2 * (x * z - r * y),
+            2 * (y * z + r * x),
+            1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def compute_cov3d(
+    scale: jnp.ndarray, quat: jnp.ndarray, scale_modifier: float = 1.0
+) -> jnp.ndarray:
+    """World-space 3D covariance from (activated) scale and normalized quat.
+
+    Sigma = R S S^T R^T (forward.cu:118-152). Returns full [N, 3, 3]."""
+    R = quat_to_rotmat(quat)
+    M = R * (scale_modifier * scale)[..., None, :]  # R @ diag(s)
+    return M @ jnp.swapaxes(M, -1, -2)
+
+
+def compute_cov2d(
+    p_view: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    w2c_rot: jnp.ndarray,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to screen space (forward.cu:74-113).
+
+    p_view: [N,3] view-space means; cov3d: [N,3,3]; w2c_rot: [3,3].
+    Returns [N, 3] upper-triangular (a, b, c) with the +0.3 low-pass."""
+    tz = p_view[:, 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows (2x3): [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
+            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )  # [N, 2, 3]
+    T = J @ w2c_rot  # [N, 2, 3]
+    cov = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
+    a = cov[:, 0, 0] + 0.3
+    b = cov[:, 0, 1]
+    c = cov[:, 1, 1] + 0.3
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def preprocess(
+    xyz: jnp.ndarray,
+    scale: jnp.ndarray,
+    quat: jnp.ndarray,
+    opacity: jnp.ndarray,
+    sh: jnp.ndarray,
+    alive: jnp.ndarray,
+    cam,
+    active_sh_degree: jnp.ndarray,
+    max_sh_degree: int,
+    scale_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+) -> Preprocessed:
+    """Full per-Gaussian forward preprocess (forward.cu:156-256).
+
+    All inputs are *activated* parameters. ``override_color`` replaces the
+    SH-derived color (reference render override_color,
+    gaussian_renderer/__init__.py:126-127, used for semantic mask renders).
+    """
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+
+    ones = jnp.ones((n, 1), f32)
+    xyz_h = jnp.concatenate([xyz, ones], axis=-1)  # [N,4]
+    p_view = xyz_h @ cam.w2c.T  # [N,4]
+    depth = p_view[:, 2]
+    in_front = depth > NEAR_Z
+
+    p_hom = xyz_h @ cam.full_proj.T  # [N,4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    cov3d = compute_cov3d(scale, quat, scale_modifier)
+    # guard z for culled points to keep math finite
+    safe_view = p_view[:, :3].at[:, 2].set(jnp.where(in_front, depth, 1.0))
+    cov2d = compute_cov2d(
+        safe_view,
+        cov3d,
+        cam.w2c[:3, :3],
+        cam.focal_x,
+        cam.focal_y,
+        cam.tan_half_fovx,
+        cam.tan_half_fovy,
+    )
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    det_ok = det > 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+
+    mean2d = jnp.stack(
+        [ndc2pix(p_proj[:, 0], cam.width), ndc2pix(p_proj[:, 1], cam.height)], axis=-1
+    )
+    on_screen = (
+        (mean2d[:, 0] + radius > 0)
+        & (mean2d[:, 0] - radius < cam.width)
+        & (mean2d[:, 1] + radius > 0)
+        & (mean2d[:, 1] - radius < cam.height)
+    )
+    visible = alive & in_front & det_ok & on_screen
+
+    if override_color is not None:
+        rgb = override_color.astype(f32)
+    else:
+        dirs = xyz - cam.campos[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        rgb, _ = sh_ops.eval_sh_color(sh, dirs, active_sh_degree, max_sh_degree)
+
+    radius = jnp.where(visible, radius, 0.0)
+    return Preprocessed(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        radius=radius,
+        rgb=rgb,
+        opacity=opacity.reshape(n),
+        visible=visible,
+    )

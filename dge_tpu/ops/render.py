@@ -1,0 +1,159 @@
+"""High-level differentiable render API.
+
+Reference analog: gaussiansplatting/gaussian_renderer/__init__.py:45-150
+(render) — returns color/depth/visibility/radii; plus the DGE mask
+back-projection path (camera2rasterizer + apply_weights,
+gaussian_renderer/__init__.py:21-42, gaussian_model.py:817-832) exposed here
+as ``render_weights``.
+
+Pipeline: preprocess (projection.py) -> depth sort + tile binning
+(binning.py) -> chunked cumprod compositing (composite.py). The whole thing
+is one jittable, autodiff-able function; ``mean2d_offset`` is the functional
+replacement for the reference's retain_grad screenspace_points trick
+(gaussian_renderer/__init__.py:60-68): pass zeros, take grads w.r.t. it to
+harvest per-Gaussian screen-space gradients for densification.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dge_tpu.ops import binning, composite, projection
+from dge_tpu.scene.gaussians import GaussianScene
+
+
+class RenderOut(NamedTuple):
+    color: jnp.ndarray  # [H, W, 3]
+    depth: jnp.ndarray  # [H, W]
+    alpha: jnp.ndarray  # [H, W] = 1 - final_T
+    radii: jnp.ndarray  # [N]
+    visible: jnp.ndarray  # [N] bool visibility filter
+    spill: jnp.ndarray  # scalar int32 binning overflow (diagnostic)
+
+
+def render(
+    scene: GaussianScene,
+    cam,
+    bg: Optional[jnp.ndarray] = None,
+    *,
+    tile_px: int = 32,
+    max_per_tile: int = 2048,
+    scale_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    chunk: int = 64,
+) -> RenderOut:
+    bg = jnp.zeros(3, jnp.float32) if bg is None else jnp.asarray(bg, jnp.float32)
+
+    prep = projection.preprocess(
+        scene.xyz,
+        scene.get_scaling,
+        scene.get_rotation,
+        scene.get_opacity,
+        scene.get_features,
+        scene.alive,
+        cam,
+        scene.active_sh_degree,
+        scene.max_sh_degree,
+        scale_modifier=scale_modifier,
+        override_color=override_color,
+    )
+    mean2d = prep.mean2d
+    if mean2d_offset is not None:
+        mean2d = mean2d + mean2d_offset
+
+    bins = binning.bin_gaussians(
+        jax.lax.stop_gradient(mean2d),
+        jax.lax.stop_gradient(prep.depth),
+        jax.lax.stop_gradient(prep.radius),
+        prep.visible,
+        height=cam.height,
+        width=cam.width,
+        tile_px=tile_px,
+        max_per_tile=max_per_tile,
+    )
+    order = bins.order
+
+    out = composite.composite(
+        bins.lists,
+        bins.counts,
+        mean2d[order],
+        prep.conic[order],
+        prep.rgb[order],
+        prep.depth[order],
+        prep.opacity[order],
+        height=cam.height,
+        width=cam.width,
+        tiles_x=bins.tiles_x,
+        tiles_y=bins.tiles_y,
+        tile_px=tile_px,
+        bg=bg,
+        spill=bins.spill,
+        chunk=chunk,
+    )
+    return RenderOut(
+        color=out.color,
+        depth=out.depth,
+        alpha=1.0 - out.final_T,
+        radii=prep.radius,
+        visible=prep.visible,
+        spill=out.spill,
+    )
+
+
+def render_weights(
+    scene: GaussianScene,
+    cam,
+    mask_img: jnp.ndarray,
+    *,
+    tile_px: int = 32,
+    max_per_tile: int = 2048,
+    chunk: int = 64,
+):
+    """Back-project a per-pixel mask to per-Gaussian (weights, hit counts).
+
+    Reference analog: GaussianModel.apply_weights -> applyWeightsGaussiansCUDA
+    (gaussian_model.py:817-832, cuda_rasterizer/apply_weights.cu). Used to
+    lift SAM masks to Gaussian space for local editing.
+    """
+    prep = projection.preprocess(
+        scene.xyz,
+        scene.get_scaling,
+        scene.get_rotation,
+        scene.get_opacity,
+        scene.get_features,
+        scene.alive,
+        cam,
+        scene.active_sh_degree,
+        scene.max_sh_degree,
+    )
+    bins = binning.bin_gaussians(
+        prep.mean2d,
+        prep.depth,
+        prep.radius,
+        prep.visible,
+        height=cam.height,
+        width=cam.width,
+        tile_px=tile_px,
+        max_per_tile=max_per_tile,
+    )
+    order = bins.order
+    return composite.lift_weights(
+        bins.lists,
+        bins.counts,
+        order,
+        prep.mean2d[order],
+        prep.conic[order],
+        prep.opacity[order],
+        mask_img.astype(jnp.float32),
+        num_gaussians=scene.capacity,
+        height=cam.height,
+        width=cam.width,
+        tiles_x=bins.tiles_x,
+        tiles_y=bins.tiles_y,
+        tile_px=tile_px,
+        chunk=chunk,
+    )
