@@ -1,0 +1,73 @@
+"""Benchmark: rendered frames/s/chip at 512x512 (BASELINE.json north-star
+metric, config 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the only in-repo reference claim —
+>= 30 fps novel-view rendering (vendored upstream 3DGS README,
+/root/reference/gaussiansplatting/README.md:16, RTX-class GPU at 1080p; we
+measure 512^2, the DGE working resolution, configs/dge.yaml:36).
+"""
+
+import json
+import math
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.ops import render as R
+    from dge_tpu.scene import gaussians as G
+    from dge_tpu.scene import look_at_camera
+    from dge_tpu.scene.camera_arrays import CameraArrays
+
+    n = 131072  # ~bear-scene scale
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    fdc = rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.5
+    frest = rng.normal(size=(n, 3, 3)).astype(np.float32) * 0.1
+    opacity = rng.uniform(-1.0, 2.0, size=(n, 1)).astype(np.float32)
+    scaling = rng.uniform(-5.0, -3.5, size=(n, 3)).astype(np.float32)
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    rot /= np.linalg.norm(rot, axis=1, keepdims=True)
+    scene = G.from_arrays(xyz, fdc, frest, opacity, scaling, rot, max_sh_degree=1)
+
+    cam = look_at_camera(
+        np.array([0.0, 0.3, -4.0]), np.zeros(3), fovx=math.radians(60),
+        height=512, width=512,
+    )
+    cam_arr = CameraArrays.from_camera(cam)
+    bg = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def forward(scene, cam, bg):
+        return R.render(scene, cam, bg, tile_px=32, max_per_tile=2048, chunk=64).color
+
+    img = forward(scene, cam_arr, bg)
+    img.block_until_ready()  # compile + warmup
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = forward(scene, cam_arr, bg)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "render_fps_512_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / 30.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,2 @@
-from dge_tpu.ops.render import RenderOut, render, render_weights
-
-__all__ = ["RenderOut", "render", "render_weights"]
+"""Rasterization and math ops. Submodules: projection, binning, composite,
+render (high-level API), naive (test oracle), sh, losses."""

@@ -138,7 +138,11 @@ def composite(
         applied = (t_hyp >= T_EPS).astype(eff.dtype)
         w = eff * trans[:, None, :] * ex * applied  # [T, C, P]
         color = color + jnp.einsum(
-            "tcp,tcd->tpd", w, crgb, preferred_element_type=jnp.float32
+            "tcp,tcd->tpd",
+            w,
+            crgb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dacc = dacc + jnp.sum(w * cd[..., None], axis=1)
         trans = trans * jnp.prod(jnp.where(applied > 0, one_minus, 1.0), axis=1)

@@ -1,0 +1,259 @@
+"""Direct 3DGS fitting: jitted train step + host-side loop with densify.
+
+Reference analogs: the vanilla trainer (gaussiansplatting/train.py:31-129,
+L1 + lambda_dssim*(1-SSIM) loss, densify every interval, opacity reset) and
+the DGE refit stage (threestudio/systems/DGE.py:617-699, L1 + perceptual vs
+edited frames, densify in on_before_optimizer_step :266-296).
+
+Everything inside ``train_step`` is one XLA program: render -> loss -> grad
+-> masked update -> densification stats. Densify runs as a separate jitted
+function every ``densification_interval`` steps (the shapes stay static; the
+host only intervenes to grow capacity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from dge_tpu.ops import losses as L
+from dge_tpu.ops import render as R
+from dge_tpu.scene.gaussians import GaussianScene
+from dge_tpu.systems import densify as D
+from dge_tpu.systems import optim as O
+
+
+@struct.dataclass
+class FitState:
+    """Densification statistics (xyz_gradient_accum / denom / max_radii2D,
+    gaussian_model.py:330-334, 811-815)."""
+
+    grad_accum: jnp.ndarray  # [cap]
+    denom: jnp.ndarray  # [cap]
+    max_radii2d: jnp.ndarray  # [cap]
+    step: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def create(cls, capacity: int) -> "FitState":
+        z = jnp.zeros((capacity,), jnp.float32)
+        return cls(grad_accum=z, denom=z, max_radii2d=z, step=jnp.int32(0))
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    lambda_dssim: float = 0.2,
+    lambda_l1: float = 1.0,
+    perceptual_fn: Optional[Callable] = None,
+    lambda_perceptual: float = 0.0,
+    tile_px: int = 32,
+    max_per_tile: int = 2048,
+    chunk: int = 64,
+):
+    """Build a jitted (scene, opt_state, fit_state, cam, target, bg) step.
+
+    Loss = lambda_l1 * L1 + lambda_dssim * (1 - SSIM) [vanilla 3DGS,
+    train.py:77-79] + lambda_perceptual * perceptual [DGE refit,
+    DGE.py:637-683].
+    """
+
+    def loss_fn(params, scene, mean2d_offset, cam, target, bg):
+        s = scene.with_params(params)
+        out = R.render(
+            s,
+            cam,
+            bg,
+            tile_px=tile_px,
+            max_per_tile=max_per_tile,
+            mean2d_offset=mean2d_offset,
+            chunk=chunk,
+        )
+        img = out.color
+        loss = lambda_l1 * L.l1_loss(img, target)
+        if lambda_dssim:
+            loss = loss + lambda_dssim * (1.0 - L.ssim(img, target))
+        if perceptual_fn is not None and lambda_perceptual:
+            loss = loss + lambda_perceptual * perceptual_fn(img, target)
+        return loss, out
+
+    @jax.jit
+    def train_step(scene, opt_state, fit_state, cam, target, bg):
+        params = scene.params()
+        offset = jnp.zeros((scene.capacity, 2), jnp.float32)
+        grad_fn = jax.grad(loss_fn, argnums=(0, 2), has_aux=True)
+        (gparams, goffset), out = grad_fn(params, scene, offset, cam, target, bg)
+        gparams = O.apply_grad_mask(gparams, scene.grad_mask, scene.alive)
+
+        updates, opt_state = optimizer.update(gparams, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        scene = scene.with_params(params)
+
+        # densification stats (add_densification_stats,
+        # gaussian_model.py:811-815). CUDA's viewspace grads are NDC-scale;
+        # ours are pixel-scale -> convert by (W/2, H/2) to keep the reference
+        # threshold semantics (backward.cu:460-461).
+        vis = out.visible
+        g_ndc = jnp.stack(
+            [goffset[:, 0] * (cam.width * 0.5), goffset[:, 1] * (cam.height * 0.5)],
+            axis=-1,
+        )
+        gnorm = jnp.linalg.norm(g_ndc, axis=-1)
+        fit_state = fit_state.replace(
+            grad_accum=fit_state.grad_accum + jnp.where(vis, gnorm, 0.0),
+            denom=fit_state.denom + vis.astype(jnp.float32),
+            max_radii2d=jnp.maximum(
+                fit_state.max_radii2d, jnp.where(vis, out.radii, 0.0)
+            ),
+            step=fit_state.step + 1,
+        )
+        aux = {
+            "loss": lambda_l1 * L.l1_loss(out.color, target),
+            "psnr": L.psnr(out.color, target),
+            "spill": out.spill,
+        }
+        return scene, opt_state, fit_state, aux
+
+    return train_step
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_grad",
+        "max_densify_percent",
+        "min_opacity",
+        "extent",
+        "max_screen_size",
+        "percent_dense",
+        "generation_num",
+    ),
+)
+def densify_step(
+    scene,
+    opt_state,
+    fit_state,
+    key,
+    *,
+    max_grad: float,
+    max_densify_percent: float,
+    min_opacity: float,
+    extent: float,
+    max_screen_size: float,
+    percent_dense: float,
+    generation_num: int = 0,
+):
+    """Jitted densify+prune, Adam-state reset for changed rows, stat reset
+    (densification_postfix + densify_and_prune, gaussian_model.py:643-809)."""
+    scene, info = D.densify_and_prune(
+        scene,
+        fit_state.grad_accum,
+        fit_state.denom,
+        fit_state.max_radii2d,
+        key,
+        max_grad=max_grad,
+        max_densify_percent=max_densify_percent,
+        min_opacity=min_opacity,
+        extent=extent,
+        max_screen_size=max_screen_size,
+        percent_dense=percent_dense,
+        generation_num=generation_num,
+    )
+    opt_state = O.zero_adam_rows(opt_state, info.changed_rows)
+    cap = scene.capacity
+    fit_state = fit_state.replace(
+        grad_accum=jnp.zeros((cap,), jnp.float32),
+        denom=jnp.zeros((cap,), jnp.float32),
+        max_radii2d=jnp.zeros((cap,), jnp.float32),
+    )
+    return scene, opt_state, fit_state, info
+
+
+def _pad_opt_state(opt_state, old_cap: int, new_cap: int):
+    """Zero-pad per-row Adam state on capacity growth (momentum of existing
+    rows is preserved, unlike a fresh init)."""
+
+    def pad_leaf(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old_cap:
+            pad = jnp.zeros((new_cap - old_cap,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x, pad], axis=0)
+        return x
+
+    return jax.tree_util.tree_map(pad_leaf, opt_state)
+
+
+@dataclasses.dataclass
+class FitLoop:
+    """Host-side fitting driver: steps, periodic densify, capacity growth.
+
+    Reference analog: the training() loop of gaussiansplatting/train.py:31-129
+    without the Lightning/network-GUI scaffolding."""
+
+    cfg: O.OptimConfig
+    extent: float = 1.0
+    max_densify_percent: float = 1.0
+    min_opacity: float = 0.005
+    max_screen_size: float = 0.0
+    spatial_lr_scale: float = 1.0
+    tile_px: int = 32
+    max_per_tile: int = 2048
+    chunk: int = 64
+    grow_threshold: float = 0.9
+    lambda_l1: float = 1.0
+    perceptual_fn: Optional[Callable] = None
+    lambda_perceptual: float = 0.0
+
+    def __post_init__(self):
+        self.optimizer = O.make_optimizer(self.cfg, self.spatial_lr_scale)
+        self.train_step = make_train_step(
+            self.optimizer,
+            lambda_dssim=self.cfg.lambda_dssim,
+            lambda_l1=self.lambda_l1,
+            perceptual_fn=self.perceptual_fn,
+            lambda_perceptual=self.lambda_perceptual,
+            tile_px=self.tile_px,
+            max_per_tile=self.max_per_tile,
+            chunk=self.chunk,
+        )
+
+    def init(self, scene: GaussianScene):
+        return self.optimizer.init(scene.params()), FitState.create(scene.capacity)
+
+    def maybe_densify(self, scene, opt_state, fit_state, key, generation_num=0):
+        step = int(fit_state.step)
+        if (
+            step < self.cfg.densify_from_iter
+            or step > self.cfg.densify_until_iter
+            or step % self.cfg.densification_interval != 0
+        ):
+            return scene, opt_state, fit_state, None
+        # grow capacity on the host when nearly full (re-jit boundary)
+        n_alive = int(scene.n_alive)
+        if n_alive > self.grow_threshold * scene.capacity:
+            old_cap = scene.capacity
+            new_cap = old_cap * 2
+            scene = D.grow_capacity(scene, new_cap)
+            opt_state = _pad_opt_state(opt_state, old_cap, new_cap)
+            fit_state = FitState.create(new_cap).replace(step=fit_state.step)
+        return self._densify(scene, opt_state, fit_state, key, generation_num)
+
+    def _densify(self, scene, opt_state, fit_state, key, generation_num):
+        scene, opt_state, fit_state, info = densify_step(
+            scene,
+            opt_state,
+            fit_state,
+            key,
+            max_grad=self.cfg.densify_grad_threshold,
+            max_densify_percent=self.max_densify_percent,
+            min_opacity=self.min_opacity,
+            extent=self.extent,
+            max_screen_size=self.max_screen_size,
+            percent_dense=self.cfg.percent_dense,
+            generation_num=generation_num,
+        )
+        return scene, opt_state, fit_state, info

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize registers the TPU plugin in every interpreter and
+# calls jax.config.update("jax_platforms", "axon,cpu"), overriding the env
+# var — force the config back to CPU before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

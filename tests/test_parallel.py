@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dge_tpu.parallel import mesh as M
+from dge_tpu.parallel import shard as S
+from dge_tpu.scene import look_at_camera
+from dge_tpu.scene.camera_arrays import CameraArrays
+from dge_tpu.systems import optim as O
+from dge_tpu.systems.fit import FitState
+from tests.conftest import make_random_scene
+
+
+def ring_cameras(n, height=16, width=16, dist=3.5):
+    cams = []
+    for i in range(n):
+        ang = 2 * math.pi * i / n
+        eye = np.array([dist * math.sin(ang), 0.3, -dist * math.cos(ang)])
+        cams.append(
+            CameraArrays.from_camera(
+                look_at_camera(
+                    eye, np.zeros(3), fovx=math.radians(60),
+                    height=height, width=width,
+                )
+            )
+        )
+    return cams
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_render_matches_single(rng):
+    from dge_tpu.ops import render as R
+
+    scene = make_random_scene(rng, n=40, capacity=64)
+    mesh = M.make_view_mesh(8)
+    cams = ring_cameras(8)
+    batch = M.stack_cameras(cams)
+    bg = jnp.zeros(3)
+    render_fn = S.make_sharded_render(mesh, tile_px=8, max_per_tile=64, chunk=16)
+    colors, depths = render_fn(scene, batch, bg)
+    assert colors.shape == (8, 16, 16, 3)
+    for i in (0, 3, 7):
+        single = R.render(scene, cams[i], bg, tile_px=8, max_per_tile=64, chunk=16)
+        assert np.allclose(colors[i], single.color, atol=1e-5), i
+
+
+def test_sharded_train_step_runs_and_reduces(rng):
+    scene = make_random_scene(rng, n=40, capacity=64)
+    mesh = M.make_view_mesh(8)
+    cams = ring_cameras(8)
+    batch = M.stack_cameras(cams)
+    targets = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(8, 16, 16, 3)).astype(np.float32)
+    )
+    bg = jnp.zeros(3)
+
+    optimizer = O.make_optimizer(O.OptimConfig.scaled(100))
+    opt_state = optimizer.init(scene.params())
+    fit_state = FitState.create(scene.capacity)
+    step = S.make_sharded_train_step(
+        optimizer, mesh, tile_px=8, max_per_tile=64, chunk=16
+    )
+    s2, opt_state, fit_state, aux = step(
+        scene, opt_state, fit_state, batch, targets, bg
+    )
+    assert np.isfinite(float(aux["loss"]))
+    assert float(jnp.abs(s2.features_dc - scene.features_dc).max()) > 0
+    assert int(fit_state.step) == 1
+    assert float(fit_state.denom.max()) > 0
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256, 256, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
