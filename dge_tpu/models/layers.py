@@ -1,0 +1,331 @@
+"""Shared diffusion-model building blocks (flax.linen, NHWC).
+
+Architecture follows Stable Diffusion 1.5's UNet/VAE family so that released
+checkpoints (incl. timbrooks/instruct-pix2pix) convert weight-for-weight —
+but the *cross-view* attention is a first-class functional mode here, not a
+runtime monkey patch like the reference's attention surgery
+(threestudio/utils/dge_utils.py:272-356 register_extended_attention,
+:369-610 make_dge_block).
+
+Cross-view modes on BasicTransformerBlock.attn1:
+- "plain": per-frame self-attention (the reference's use_normal_attn path,
+  active below timestep 100)
+- "extended": K/V concatenated across the view axis per CFG chunk
+- "pivot_record": extended + records normed hidden states and attn output
+  into the "pivot" variable collection (the KV-cache-like pivotal pass)
+- "pivot_reuse": epipolar-constrained cosine-argmax gather of the recorded
+  pivot attention outputs (TokenFlow-style pivotal propagation)
+
+Naming mirrors diffusers module paths with '.' replaced by '_' so the weight
+converter is mechanical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class CrossViewState:
+    """Per-batch cross-view attention inputs, computed once per UNet call
+    (the reference recomputes closest cams/epipolar gathers per block;
+    here they are hoisted out of the network)."""
+
+    # int32 [F, n_key]: indices of the 1-2 closest key (pivot) cameras
+    closest_cam: Optional[jnp.ndarray] = None
+    # f32 [F]: blend weight for the closest cam, sigmoid(d2/(d1+d2))
+    # (make_dge_block, dge_utils.py:557-566); 1.0 when n_key == 1
+    blend_w1: Optional[jnp.ndarray] = None
+    # dict seq_len -> bool [F, n_key, S, S] epipolar *violation* masks,
+    # already gathered per closest cam, pivot frame rows cleared
+    epipolar: Optional[Dict[int, jnp.ndarray]] = struct.field(
+        pytree_node=True, default=None
+    )
+    n_key: int = struct.field(pytree_node=False, default=1)
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True, downscale_freq_shift: float = 0.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding
+    semantics for SD: flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (diffusers Attention): to_q/to_k/to_v/to_out_0."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    def qkv(self, x, context=None):
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        c = x if context is None else context
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(c)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(c)
+        return q, k, v
+
+    def out_proj(self, x):
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(x)
+
+    @staticmethod
+    def _attend(q, k, v, heads, dim_head):
+        """q [B, Sq, H*D], k/v [B, Sk, H*D] -> [B, Sq, H*D]."""
+
+        def split(x):
+            b, s, _ = x.shape
+            return x.reshape(b, s, heads, dim_head).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        scale = 1.0 / math.sqrt(dim_head)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        b, h, s, d = out.shape
+        return out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    @nn.compact
+    def __call__(self, x, context=None, extended_frames: int = 0):
+        """extended_frames > 0 enables extended attention: x is
+        [n_chunks * F, S, D] and K/V are concatenated across the F frames of
+        each chunk (register_extended_attention, dge_utils.py:282-356)."""
+        q, k, v = self.qkv(x, context)
+        if extended_frames:
+            f = extended_frames
+            b, s, d = k.shape
+            chunks = b // f
+            # within each CFG chunk, every frame attends to all frames' K/V
+            k = k.reshape(chunks, 1, f * s, d).repeat(f, axis=1).reshape(b, f * s, d)
+            v = v.reshape(chunks, 1, f * s, d).repeat(f, axis=1).reshape(b, f * s, d)
+        out = self._attend(q, k, v, self.heads, self.dim_head)
+        return self.out_proj(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context,
+        *,
+        mode: str = "plain",
+        cross_view: Optional[CrossViewState] = None,
+    ):
+        """x: [B, S, D] with B = 3 * F (CFG chunks text/image/uncond) when a
+        cross-view mode is active; context: [B, S_ctx, D_ctx]."""
+        attn1 = Attention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+        )
+        norm_h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        if mode == "plain":
+            attn_out = attn1(norm_h)
+        elif mode in ("extended", "pivot_record"):
+            f = x.shape[0] // 3
+            attn_out = attn1(norm_h, extended_frames=f)
+            if mode == "pivot_record":
+                # the pivotal pass stores normed hidden states + attn output
+                # (make_dge_block, dge_utils.py:400-405, 526-533)
+                self.sow("pivot", "hidden", norm_h)
+                self.sow("pivot", "attn_out", attn_out)
+        elif mode == "pivot_reuse":
+            attn_out = self._pivot_reuse(norm_h, cross_view)
+        else:
+            raise ValueError(f"unknown attention mode {mode}")
+
+        x = x + attn_out
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            self.dim,
+            self.heads,
+            self.dim_head,
+            context_dim=self.context_dim,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+    def _pivot_reuse(self, norm_h, cv: CrossViewState):
+        """Epipolar-constrained nearest-token gather of pivot attention
+        outputs (make_dge_block, dge_utils.py:407-571)."""
+        piv_h = self.get_variable("pivot", "hidden")  # [3*Fk, S, D] (tuple from sow)
+        piv_attn = self.get_variable("pivot", "attn_out")
+        if isinstance(piv_h, tuple):
+            piv_h = piv_h[0]
+        if isinstance(piv_attn, tuple):
+            piv_attn = piv_attn[0]
+
+        b, s, d = norm_h.shape
+        f = b // 3
+        fk = piv_h.shape[0] // 3
+        piv_h = piv_h.reshape(3, fk, s, d)
+        piv_attn = piv_attn.reshape(3, fk, s, d)
+        cur = norm_h.reshape(3, f, s, d)
+
+        closest = cv.closest_cam  # [F, n_key]
+        # cosine similarity on the *image* CFG chunk only (dge_utils.py:428)
+        img = cur[1]
+        img = img / (jnp.linalg.norm(img, axis=-1, keepdims=True) + 1e-6)
+        piv_img = piv_h[1][closest]  # [F, n_key, S, D]
+        piv_img = piv_img / (jnp.linalg.norm(piv_img, axis=-1, keepdims=True) + 1e-6)
+        sim = jnp.einsum(
+            "fsd,fktd->fkst", img, piv_img, preferred_element_type=jnp.float32
+        )  # [F, n_key, S, S]
+
+        if cv.epipolar is not None and s in cv.epipolar:
+            violation = cv.epipolar[s]  # [F, n_key, S, S] bool
+            # rows where every pivot token violates are exempted
+            all_bad = jnp.all(violation, axis=-1, keepdims=True)
+            violation = violation & ~all_bad
+            sim = jnp.where(violation, 0.0, sim)
+
+        idx = jnp.argmax(sim, axis=-1)  # [F, n_key, S]
+        # gather pivot attn output at matched tokens for all 3 CFG chunks
+        piv_sel = piv_attn[:, closest]  # [3, F, n_key, S, D]
+        gathered = jnp.take_along_axis(
+            piv_sel, idx[None, :, :, :, None].repeat(3, 0), axis=3
+        )  # [3, F, n_key, S, D] gathered along token axis
+
+        if cv.n_key == 2:
+            w1 = cv.blend_w1.reshape(1, f, 1, 1)
+            out = w1 * gathered[:, :, 0] + (1.0 - w1) * gathered[:, :, 1]
+        else:
+            out = gathered[:, :, 0]
+        return out.reshape(b, s, d).astype(norm_h.dtype)
+
+
+class Transformer2DModel(nn.Module):
+    channels: int
+    heads: int
+    dim_head: int
+    context_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, mode="plain", cross_view=None):
+        """x: [B, H, W, C] -> same."""
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # SD-1.5 uses 1x1 conv proj (use_linear_projection=False)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        x = BasicTransformerBlock(
+            self.channels,
+            self.heads,
+            self.dim_head,
+            self.context_dim,
+            dtype=self.dtype,
+            name="transformer_blocks_0",
+        )(x, context, mode=mode, cross_view=cross_view)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        residual = x
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers pads (0,1,0,1) for stride-2 conv
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.channels, (3, 3), strides=2, padding="VALID", dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)

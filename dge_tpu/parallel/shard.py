@@ -98,6 +98,7 @@ def make_sharded_train_step(
             mesh=mesh,
             in_specs=(P(), P(VIEW_AXIS), P(VIEW_AXIS), P()),
             out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
         )
         loss, gp, gnorm, vis_any, radii_max = shard(scene, cams, targets, bg)
 
@@ -140,6 +141,7 @@ def make_sharded_render(
             mesh=mesh,
             in_specs=(P(), P(VIEW_AXIS), P()),
             out_specs=(P(VIEW_AXIS), P(VIEW_AXIS)),
+            check_vma=False,
         )
         return shard(scene, cams, bg)
 
