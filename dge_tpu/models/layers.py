@@ -254,6 +254,7 @@ class Transformer2DModel(nn.Module):
     heads: int
     dim_head: int
     context_dim: int
+    groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -261,7 +262,8 @@ class Transformer2DModel(nn.Module):
         """x: [B, H, W, C] -> same."""
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(x)
         # SD-1.5 uses 1x1 conv proj (use_linear_projection=False)
         x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
@@ -280,12 +282,14 @@ class Transformer2DModel(nn.Module):
 
 class ResnetBlock2D(nn.Module):
     out_channels: int
+    groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
         residual = x
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+                         name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -294,7 +298,8 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+                         name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)

@@ -57,6 +57,7 @@ class UNetConfig:
             layers_per_block=1,
             cross_attention_dim=context_dim,
             attention_heads=2,
+            norm_groups=8,
         )
 
 
@@ -97,13 +98,13 @@ class UNet2DConditionModel(nn.Module):
             is_final = i == n_blocks - 1
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(
-                    ch[i], dtype=self.dtype,
+                    ch[i], groups=cfg.norm_groups, dtype=self.dtype,
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(h, temb)
                 if not is_final:
                     h = Transformer2DModel(
                         ch[i], heads, ch[i] // heads, cfg.cross_attention_dim,
-                        dtype=self.dtype,
+                        groups=cfg.norm_groups, dtype=self.dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context, **kw)
                 skips.append(h)
@@ -115,16 +116,15 @@ class UNet2DConditionModel(nn.Module):
                 skips.append(h)
 
         # mid
-        h = ResnetBlock2D(ch[-1], dtype=self.dtype, name="mid_block_resnets_0")(
-            h, temb
-        )
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                          name="mid_block_resnets_0")(h, temb)
         h = Transformer2DModel(
             ch[-1], heads, ch[-1] // heads, cfg.cross_attention_dim,
-            dtype=self.dtype, name="mid_block_attentions_0",
+            groups=cfg.norm_groups, dtype=self.dtype,
+            name="mid_block_attentions_0",
         )(h, context, **kw)
-        h = ResnetBlock2D(ch[-1], dtype=self.dtype, name="mid_block_resnets_1")(
-            h, temb
-        )
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                          name="mid_block_resnets_1")(h, temb)
 
         # up path (reversed channels; UpBlock2D first, then CrossAttnUpBlock2D)
         for i in range(n_blocks):
@@ -134,12 +134,14 @@ class UNet2DConditionModel(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock2D(
-                    ch_i, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
+                    ch_i, groups=cfg.norm_groups, dtype=self.dtype,
+                    name=f"up_blocks_{i}_resnets_{j}",
                 )(h, temb)
                 if not is_first:
                     h = Transformer2DModel(
                         ch_i, heads, ch_i // heads, cfg.cross_attention_dim,
-                        dtype=self.dtype, name=f"up_blocks_{i}_attentions_{j}",
+                        groups=cfg.norm_groups, dtype=self.dtype,
+                        name=f"up_blocks_{i}_attentions_{j}",
                     )(h, context, **kw)
             if i != n_blocks - 1:
                 h = Upsample2D(

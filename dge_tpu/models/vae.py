@@ -33,7 +33,8 @@ class VAEConfig:
 
     @classmethod
     def tiny(cls) -> "VAEConfig":
-        return cls(block_out_channels=(16, 32), layers_per_block=1)
+        return cls(block_out_channels=(16, 32), layers_per_block=1,
+                   norm_groups=8)
 
 
 class VAEAttention(nn.Module):
@@ -41,13 +42,15 @@ class VAEAttention(nn.Module):
     Attention with heads=1 on [B, H*W, C])."""
 
     channels: int
+    groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
@@ -73,15 +76,19 @@ class Encoder(nn.Module):
         for i in range(len(ch)):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(
-                    ch[i], dtype=self.dtype, name=f"down_blocks_{i}_resnets_{j}"
+                    ch[i], groups=cfg.norm_groups, dtype=self.dtype,
+                    name=f"down_blocks_{i}_resnets_{j}"
                 )(h)
             if i != len(ch) - 1:
                 h = Downsample2D(
                     ch[i], dtype=self.dtype, name=f"down_blocks_{i}_downsamplers_0"
                 )(h)
-        h = ResnetBlock2D(ch[-1], dtype=self.dtype, name="mid_block_resnets_0")(h)
-        h = VAEAttention(ch[-1], dtype=self.dtype, name="mid_block_attentions_0")(h)
-        h = ResnetBlock2D(ch[-1], dtype=self.dtype, name="mid_block_resnets_1")(h)
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                      name="mid_block_resnets_0")(h)
+        h = VAEAttention(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                         name="mid_block_attentions_0")(h)
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                      name="mid_block_resnets_1")(h)
         h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
@@ -107,15 +114,19 @@ class Decoder(nn.Module):
             cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
         )(z)
         h = nn.Conv(ch[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock2D(ch[-1], dtype=self.dtype, name="mid_block_resnets_0")(h)
-        h = VAEAttention(ch[-1], dtype=self.dtype, name="mid_block_attentions_0")(h)
-        h = ResnetBlock2D(ch[-1], dtype=self.dtype, name="mid_block_resnets_1")(h)
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                      name="mid_block_resnets_0")(h)
+        h = VAEAttention(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                         name="mid_block_attentions_0")(h)
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+                      name="mid_block_resnets_1")(h)
         # up path: reversed channels, layers_per_block+1 resnets each
         for i in range(len(ch)):
             ch_i = ch[len(ch) - 1 - i]
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(
-                    ch_i, dtype=self.dtype, name=f"up_blocks_{i}_resnets_{j}"
+                    ch_i, groups=cfg.norm_groups, dtype=self.dtype,
+                    name=f"up_blocks_{i}_resnets_{j}"
                 )(h)
             if i != len(ch) - 1:
                 h = Upsample2D(

@@ -1,0 +1,194 @@
+"""Diffusion model stack tests on tiny configs: shapes, attention-mode
+equivalences, pivot record/reuse mechanics, DDIM invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dge_tpu.diffusion import ddim
+from dge_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from dge_tpu.models.layers import BasicTransformerBlock, CrossViewState
+from dge_tpu.models.unet import UNet2DConditionModel, UNetConfig
+from dge_tpu.models.vae import AutoencoderKL, VAEConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = UNetConfig.tiny()
+    model = UNet2DConditionModel(cfg)
+    x = jnp.zeros((3, 16, 16, 8))
+    t = jnp.array([10, 10, 10])
+    ctx = jnp.zeros((3, 7, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+    return model, params, cfg
+
+
+class TestUNet:
+    def test_output_shape(self, tiny_unet):
+        model, params, cfg = tiny_unet
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 16, 8))
+        t = jnp.array([100, 100, 100])
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (3, 7, cfg.cross_attention_dim))
+        out = model.apply({"params": params}, x, t, ctx)
+        assert out.shape == (3, 16, 16, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_extended_single_frame_equals_plain(self, tiny_unet):
+        """With n_frames=1 per CFG chunk, extended attention concatenates
+        nothing -> must equal plain attention exactly."""
+        model, params, cfg = tiny_unet
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 16, 8))
+        t = jnp.array([100, 100, 100])
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (3, 7, cfg.cross_attention_dim))
+        out_plain = model.apply({"params": params}, x, t, ctx, mode="plain")
+        out_ext = model.apply({"params": params}, x, t, ctx, mode="extended")
+        assert np.allclose(out_plain, out_ext, atol=1e-5)
+
+    def test_extended_multiframe_differs_and_permutes(self, tiny_unet):
+        """Extended attention with 2 frames differs from plain, and K/V
+        concat makes each frame's output depend on the other frame."""
+        model, params, cfg = tiny_unet
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.normal(rng, (6, 16, 16, 8))  # 3 chunks x 2 frames
+        t = jnp.full((6,), 100)
+        ctx = jax.random.normal(jax.random.PRNGKey(4), (6, 7, cfg.cross_attention_dim))
+        out_plain = model.apply({"params": params}, x, t, ctx, mode="plain")
+        out_ext = model.apply({"params": params}, x, t, ctx, mode="extended")
+        assert not np.allclose(out_plain, out_ext, atol=1e-4)
+        # modifying frame 1 changes frame 0's extended output
+        x2 = x.at[1].add(1.0)
+        out_ext2 = model.apply({"params": params}, x2, t, ctx, mode="extended")
+        assert not np.allclose(out_ext[0], out_ext2[0], atol=1e-5)
+
+    def test_pivot_record_reuse_roundtrip(self, tiny_unet):
+        """pivot_record caches per-block state; pivot_reuse consumes it."""
+        model, params, cfg = tiny_unet
+        fk, f = 2, 2  # key frames, current frames
+        xk = jax.random.normal(jax.random.PRNGKey(5), (3 * fk, 16, 16, 8))
+        xc = jax.random.normal(jax.random.PRNGKey(6), (3 * f, 16, 16, 8))
+        tk = jnp.full((3 * fk,), 100)
+        tc = jnp.full((3 * f,), 100)
+        ctxk = jax.random.normal(jax.random.PRNGKey(7), (3 * fk, 7, cfg.cross_attention_dim))
+        ctxc = jax.random.normal(jax.random.PRNGKey(8), (3 * f, 7, cfg.cross_attention_dim))
+
+        out_k, vars_k = model.apply(
+            {"params": params}, xk, tk, ctxk, mode="pivot_record",
+            mutable=["pivot"],
+        )
+        assert "pivot" in vars_k
+
+        cv = CrossViewState(
+            closest_cam=jnp.array([[0], [1]], jnp.int32),
+            blend_w1=jnp.ones((f,)),
+            epipolar=None,
+            n_key=1,
+        )
+        out_c = model.apply(
+            {"params": params, "pivot": vars_k["pivot"]},
+            xc, tc, ctxc, mode="pivot_reuse", cross_view=cv,
+        )
+        assert out_c.shape == (3 * f, 16, 16, 4)
+        assert np.isfinite(np.asarray(out_c)).all()
+
+    def test_pivot_reuse_two_keys_blend(self, tiny_unet):
+        model, params, cfg = tiny_unet
+        fk, f = 2, 1
+        xk = jax.random.normal(jax.random.PRNGKey(5), (3 * fk, 16, 16, 8))
+        xc = jax.random.normal(jax.random.PRNGKey(6), (3 * f, 16, 16, 8))
+        ctxk = jnp.zeros((3 * fk, 7, cfg.cross_attention_dim))
+        ctxc = jnp.zeros((3 * f, 7, cfg.cross_attention_dim))
+        _, vars_k = model.apply(
+            {"params": params}, xk, jnp.full((3 * fk,), 100), ctxk,
+            mode="pivot_record", mutable=["pivot"],
+        )
+        cv = CrossViewState(
+            closest_cam=jnp.array([[0, 1]], jnp.int32),
+            blend_w1=jnp.array([0.7]),
+            epipolar=None,
+            n_key=2,
+        )
+        out = model.apply(
+            {"params": params, "pivot": vars_k["pivot"]},
+            xc, jnp.full((3 * f,), 100), ctxc, mode="pivot_reuse", cross_view=cv,
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        cfg = VAEConfig.tiny()
+        model = AutoencoderKL(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        z = model.apply({"params": params}, x, method=model.encode)
+        assert z.shape == (2, 16, 16, 4)  # one downsample in tiny config
+        y = model.apply({"params": params}, z, method=model.decode)
+        assert y.shape == x.shape
+
+    def test_encode_mode_deterministic(self):
+        cfg = VAEConfig.tiny()
+        model = AutoencoderKL(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        z1 = model.apply({"params": params}, x, method=model.encode)
+        z2 = model.apply({"params": params}, x, method=model.encode)
+        assert np.allclose(z1, z2)
+
+
+class TestCLIP:
+    def test_shapes_and_causality(self):
+        cfg = CLIPTextConfig.tiny()
+        model = CLIPTextModel(cfg)
+        ids = jnp.array([[1, 5, 7, 9, 2, 0, 0, 0]])
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        out = model.apply({"params": params}, ids)
+        assert out.shape == (1, 8, cfg.hidden_size)
+        # causality: changing a later token must not affect earlier positions
+        ids2 = ids.at[0, 5].set(42)
+        out2 = model.apply({"params": params}, ids2)
+        assert np.allclose(out[:, :5], out2[:, :5], atol=1e-5)
+        assert not np.allclose(out[:, 5:], out2[:, 5:], atol=1e-5)
+
+
+class TestDDIM:
+    def test_alphas_monotone(self):
+        s = ddim.make_schedule()
+        a = np.asarray(s.alphas_cumprod)
+        assert a.shape == (1000,)
+        assert np.all(np.diff(a) < 0)
+        assert 0 < a[-1] < a[0] < 1
+
+    def test_timesteps_leading_offset(self):
+        s = ddim.make_schedule()
+        ts = ddim.inference_timesteps(s, 20)
+        assert len(ts) == 20
+        assert ts[0] == 951 and ts[-1] == 1  # 950+1 ... 0+1
+        assert np.all(np.diff(ts) == -50)
+
+    def test_add_noise_snr(self):
+        s = ddim.make_schedule()
+        x0 = jnp.ones((1, 4, 4, 4))
+        noise = jnp.zeros_like(x0)
+        t = jnp.array([0])
+        out = ddim.add_noise(s, x0, noise, t)
+        assert np.allclose(out, np.sqrt(np.asarray(s.alphas_cumprod)[0]))
+
+    def test_full_denoise_recovers_x0_for_perfect_eps(self):
+        """If the model always predicts the true noise, DDIM recovers x0."""
+        s = ddim.make_schedule()
+        rng = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(rng, (1, 8, 8, 4))
+        noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        n_steps = 20
+        ts = ddim.inference_timesteps(s, n_steps)
+        x = ddim.add_noise(s, x0, noise, jnp.array([ts[0]]))
+        for t in ts:
+            # oracle epsilon for current x: eps = (x - sqrt(a) x0)/sqrt(1-a)
+            a = s.alphas_cumprod[t]
+            eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+            x = ddim.step(s, eps, jnp.asarray(t), x, n_steps)
+        # with set_alpha_to_one=False the final step keeps sqrt(1 - abar_0)
+        # (~0.029) of the noise, so recovery is approximate by design
+        err = np.abs(np.asarray(x - x0))
+        assert err.mean() < 0.05 and err.max() < 0.2, (err.mean(), err.max())
