@@ -1,0 +1,361 @@
+"""DGE guidance: multi-view-consistent InstructPix2Pix editing.
+
+Reference analog: DGEGuidance (threestudio/models/guidance/dge_guidance.py,
+registered "dge-guidance") — the 20-step truncated DDIM edit loop with
+per-batch random pivots, extended attention over pivots, and
+epipolar-constrained pivot-attention reuse for non-pivot views
+(edit_latents :246-374), IP2P 3-way CFG (:362-368), SDS mode
+(compute_grad_sds :376-475), and timestep-gated plain attention below t=100
+(use_normal_unet :237-244).
+
+TPU re-architecture: no monkey patching — the UNet takes an attention
+``mode`` plus a CrossViewState; pivot state rides a flax variable
+collection. Closest-camera search and epipolar masks are computed once per
+(step, batch) outside the network (the reference recomputes them inside
+every transformer block).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dge_tpu
+from dge_tpu.diffusion import ddim, epipolar
+from dge_tpu.diffusion import ip2p as P
+from dge_tpu.models.layers import CrossViewState
+from dge_tpu.parallel.mesh import index_cameras, stack_cameras
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """configs/dge.yaml guidance defaults (dge_guidance.py:34-51)."""
+
+    guidance_scale: float = 7.5
+    condition_scale: float = 1.5
+    camera_batch_size: int = 5
+    diffusion_steps: int = 20
+    use_sds: bool = False
+    min_step_percent: float = 0.02
+    max_step_percent: float = 0.98
+    normal_attn_below_t: int = 100
+    epipolar_threshold: float = 1.0
+
+
+def _gather_cams(cams, idx):
+    """Select a subset of a stacked CameraArrays by (traced or static)
+    indices."""
+    return type(cams)(
+        w2c=cams.w2c[idx],
+        full_proj=cams.full_proj[idx],
+        campos=cams.campos[idx],
+        tan_half_fovx=cams.tan_half_fovx[idx],
+        tan_half_fovy=cams.tan_half_fovy[idx],
+        height=cams.height,
+        width=cams.width,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("latent_h", "latent_w", "n_key", "threshold")
+)
+def make_cross_view_state(
+    cams_b,
+    key_cams,
+    pivot_in_batch: jnp.ndarray,
+    latent_h: int,
+    latent_w: int,
+    n_key: int,
+    threshold: float = 1.0,
+) -> CrossViewState:
+    """Closest key cams, distance blend, and per-resolution epipolar
+    violation masks for one camera batch.
+
+    Mirrors the per-block state of make_dge_block (closest_cam search
+    :407-424, w1 blend :557-566) and the per-batch mask precompute of
+    edit_latents (:329-342), with the pivot frame's rows cleared
+    (:493-496)."""
+    d = epipolar.camera_distances(cams_b.campos, key_cams.campos)  # [F, K]
+    closest = jnp.argsort(d, axis=-1)[:, :n_key]  # [F, n_key]
+    dsort = jnp.sort(d, axis=-1)
+    if n_key == 2:
+        w1 = jax.nn.sigmoid(dsort[:, 1] / (dsort[:, 0] + dsort[:, 1] + 1e-12))
+    else:
+        w1 = jnp.ones((d.shape[0],), jnp.float32)
+
+    f = d.shape[0]
+    key_sel = _gather_cams(key_cams, closest.reshape(-1))  # [F*n_key]
+    masks: Dict[int, jnp.ndarray] = {}
+    for ds in (1, 2, 4, 8):
+        h, w = latent_h // ds, latent_w // ds
+        if h < 1 or w < 1:
+            continue
+        s = h * w
+
+        def pair_mask(key_cam_fp, query_cam_fp):
+            fm = epipolar.fundamental_from_projections(key_cam_fp, query_cam_fp)
+            return epipolar.epipolar_distances(fm, h, w) > threshold
+
+        def pix_proj(cam, hh, ww):
+            ndc2pix = jnp.array(
+                [[ww / 2.0, 0, ww / 2.0], [0, hh / 2.0, hh / 2.0], [0, 0, 1.0]],
+                jnp.float32,
+            )
+            return ndc2pix @ cam.full_proj[jnp.array([0, 1, 3]), :]
+
+        pk = jax.vmap(lambda c: pix_proj(c, h, w))(key_sel)  # [F*n_key, 3, 4]
+        pq = jax.vmap(lambda c: pix_proj(c, h, w))(cams_b)  # [F, 3, 4]
+        pq_rep = jnp.repeat(pq, n_key, axis=0)  # [F*n_key, 3, 4]
+        m = jax.vmap(pair_mask)(pk, pq_rep)  # [F*n_key, S, S]
+        m = m.reshape(f, n_key, s, s)
+        # the pivot frame of this batch is unconstrained
+        frame_ids = jnp.arange(f)
+        m = jnp.where(
+            (frame_ids == pivot_in_batch)[:, None, None, None], False, m
+        )
+        masks[s] = m
+    return CrossViewState(
+        closest_cam=closest, blend_w1=w1, epipolar=masks, n_key=n_key
+    )
+
+
+@dge_tpu.register("dge-guidance")
+class DGEGuidance:
+    def __init__(self, cfg: GuidanceConfig, models: P.IP2PModels):
+        self.cfg = cfg
+        self.models = models
+        self.min_step = int(
+            models.schedule.num_train_timesteps * cfg.min_step_percent
+        )
+        self.max_step = int(
+            models.schedule.num_train_timesteps * cfg.max_step_percent
+        )
+        self._jit_cache: Dict = {}
+
+    # ---- jitted UNet passes (cached per shape signature) ----
+    def _pivot_fn(self):
+        if "pivot" not in self._jit_cache:
+
+            @jax.jit
+            def fn(unet_params, inp, t, temb):
+                return self.models.unet.apply(
+                    {"params": unet_params},
+                    inp,
+                    jnp.full((inp.shape[0],), t),
+                    temb,
+                    mode="pivot_record",
+                    mutable=["pivot"],
+                )
+
+            self._jit_cache["pivot"] = fn
+        return self._jit_cache["pivot"]
+
+    def _batch_fn(self, n_key: int):
+        key = ("batch", n_key)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(unet_params, pivot_vars, inp, t, temb, cross_view):
+                return self.models.unet.apply(
+                    {"params": unet_params, "pivot": pivot_vars},
+                    inp,
+                    jnp.full((inp.shape[0],), t),
+                    temb,
+                    mode="pivot_reuse",
+                    cross_view=cross_view,
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _plain_fn(self):
+        if "plain" not in self._jit_cache:
+
+            @jax.jit
+            def fn(unet_params, inp, t, temb):
+                return self.models.unet.apply(
+                    {"params": unet_params},
+                    inp,
+                    jnp.full((inp.shape[0],), t),
+                    temb,
+                    mode="plain",
+                )
+
+            self._jit_cache["plain"] = fn
+        return self._jit_cache["plain"]
+
+    # ---- the edit loop ----
+    def edit_latents(
+        self,
+        text_emb: jnp.ndarray,  # [3B, S, D] (pos, neg, neg)
+        latents: jnp.ndarray,  # [B, h, w, 4]
+        cond_latents: jnp.ndarray,  # [3B, h, w, 4] (img, img, zeros)
+        t_start: int,
+        cams,
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        models = self.models
+        b = latents.shape[0]
+        cbs = cfg.camera_batch_size
+        assert b % cbs == 0, f"views {b} must be a multiple of batch {cbs}"
+        n_batches = b // cbs
+        lat_h, lat_w = latents.shape[1], latents.shape[2]
+
+        sched = models.schedule._replace(
+            num_train_timesteps=max(t_start, cfg.diffusion_steps)
+        )
+        ts = ddim.inference_timesteps(sched, cfg.diffusion_steps)
+        rng, r_noise = jax.random.split(rng)
+        noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+        latents = ddim.add_noise(sched, latents, noise, jnp.full((b,), t_start))
+
+        emb_pos, emb_neg, _ = jnp.split(text_emb, 3, axis=0)
+        cond_img, _, cond_zero = jnp.split(cond_latents, 3, axis=0)
+
+        def triple_for(idx):
+            """CFG triplet [pos, neg, neg] embeddings and [img, img, zero]
+            conditioning latents for a view subset."""
+            te = jnp.concatenate([emb_pos[idx], emb_neg[idx], emb_neg[idx]], 0)
+            cl = jnp.concatenate([cond_img[idx], cond_img[idx], cond_zero[idx]], 0)
+            return te, cl
+
+        for t in ts:
+            t = int(t)
+            if t < cfg.normal_attn_below_t:
+                # plain attention (use_normal_unet, dge_guidance.py:289-296)
+                te, cl = triple_for(jnp.arange(b))
+                inp = jnp.concatenate([P.triple(latents), cl], axis=-1)
+                eps = self._plain_fn()(
+                    models.unet_params, inp, jnp.asarray(t), te
+                )
+                e_t, e_i, e_u = jnp.split(eps, 3, axis=0)
+                eps_final = P.cfg_combine(
+                    e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+                )
+                latents = ddim.step(
+                    sched, eps_final, jnp.asarray(t), latents, cfg.diffusion_steps
+                )
+                continue
+
+            # one random pivot per camera batch (edit_latents :305)
+            rng, r_piv = jax.random.split(rng)
+            piv_off = np.asarray(
+                jax.random.randint(r_piv, (n_batches,), 0, cbs)
+            )
+            pivotal_idx = piv_off + np.arange(0, b, cbs)
+            key_cams = _gather_cams(cams, jnp.asarray(pivotal_idx))
+
+            # pivot pass over all key frames (extended attention, recorded)
+            piv = jnp.asarray(pivotal_idx)
+            te_p, cl_p = triple_for(piv)
+            inp_p = jnp.concatenate([P.triple(latents[piv]), cl_p], axis=-1)
+            _, pivot_vars = self._pivot_fn()(
+                models.unet_params, inp_p, jnp.asarray(t), te_p
+            )
+
+            # per-batch non-pivot pass with pivot reuse
+            eps_chunks = []
+            for i in range(n_batches):
+                sl = jnp.arange(i * cbs, (i + 1) * cbs)
+                cams_b = _gather_cams(cams, sl)
+                n_key = 1 if i == 0 else 2  # make_dge_block batch_idxs
+                cv = make_cross_view_state(
+                    cams_b,
+                    key_cams,
+                    jnp.asarray(piv_off[i]),
+                    lat_h,
+                    lat_w,
+                    n_key,
+                    cfg.epipolar_threshold,
+                )
+                te_b, cl_b = triple_for(sl)
+                inp_b = jnp.concatenate([P.triple(latents[sl]), cl_b], axis=-1)
+                eps_b = self._batch_fn(n_key)(
+                    models.unet_params,
+                    pivot_vars["pivot"],
+                    inp_b,
+                    jnp.asarray(t),
+                    te_b,
+                    cv,
+                )
+                eps_chunks.append(eps_b)
+
+            e_t = jnp.concatenate([jnp.split(e, 3)[0] for e in eps_chunks], 0)
+            e_i = jnp.concatenate([jnp.split(e, 3)[1] for e in eps_chunks], 0)
+            e_u = jnp.concatenate([jnp.split(e, 3)[2] for e in eps_chunks], 0)
+            eps_final = P.cfg_combine(
+                e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+            )
+            latents = ddim.step(
+                sched, eps_final, jnp.asarray(t), latents, cfg.diffusion_steps
+            )
+        return latents
+
+    def __call__(
+        self,
+        rgb: jnp.ndarray,  # [B, H, W, 3] current renders in [0, 1]
+        cond_rgb: jnp.ndarray,  # [B, H, W, 3] original renders
+        text_emb_pos: jnp.ndarray,
+        text_emb_neg: jnp.ndarray,
+        cams,
+        rng: jax.Array,
+        max_step: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """Edit all views (guidance __call__, dge_guidance.py:480-569).
+        Returns edited images at the input resolution."""
+        b, h, w, _ = rgb.shape
+        rh, rw = P.resize_to_64_multiple(h, w)
+        if (rh, rw) != (h, w):
+            rgb_r = jax.image.resize(rgb, (b, rh, rw, 3), "bilinear")
+            cond_r = jax.image.resize(cond_rgb, (b, rh, rw, 3), "bilinear")
+        else:
+            rgb_r, cond_r = rgb, cond_rgb
+
+        rng, r_enc = jax.random.split(rng)
+        latents = P.encode_images(self.models, rgb_r, r_enc)
+        cond_latents = P.encode_cond_images(self.models, cond_r)
+        text_emb = jnp.concatenate(
+            [text_emb_pos, text_emb_neg, text_emb_neg], axis=0
+        )
+        t_start = (max_step if max_step is not None else self.max_step) - 1
+        edited = self.edit_latents(
+            text_emb, latents, cond_latents, t_start, cams, rng
+        )
+        imgs = P.decode_latents(self.models, edited)
+        if (rh, rw) != (h, w):
+            imgs = jax.image.resize(imgs, (b, h, w, 3), "bilinear")
+        return imgs
+
+    def compute_grad_sds(
+        self,
+        text_emb: jnp.ndarray,
+        latents: jnp.ndarray,
+        cond_latents: jnp.ndarray,
+        t: int,
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        """SDS gradient w = (1 - alpha_bar_t) (compute_grad_sds,
+        dge_guidance.py:376-475; plain single-pass variant)."""
+        models = self.models
+        cfg = self.cfg
+        b = latents.shape[0]
+        noise = jax.random.normal(rng, latents.shape, latents.dtype)
+        noisy = ddim.add_noise(models.schedule, latents, noise, jnp.full((b,), t))
+        cond_img, _, cond_zero = jnp.split(cond_latents, 3, axis=0)
+        cl = jnp.concatenate([cond_img, cond_img, cond_zero], axis=0)
+        inp = jnp.concatenate([P.triple(noisy), cl], axis=-1)
+        eps = self._plain_fn()(
+            models.unet_params, inp, jnp.asarray(t), text_emb
+        )
+        e_t, e_i, e_u = jnp.split(eps, 3, axis=0)
+        eps_final = P.cfg_combine(
+            e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+        )
+        w = 1.0 - models.schedule.alphas_cumprod[t]
+        return w * (eps_final - noise)

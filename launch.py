@@ -1,0 +1,264 @@
+"""CLI launcher for the dge_tpu framework.
+
+Reference analog: /root/reference/launch.py (253 LoC: config load, registry
+instantiation, Lightning Trainer, --train/--validate/--test/--export). Here:
+plain argparse + YAML + dotted overrides driving the jitted systems — no
+Lightning.
+
+Modes:
+  --train     full DGE edit (render -> multi-view edit -> refit), then test
+  --test      render eval views of a scene/PLY + metrics
+  --render    batch-render a pretrained PLY (gaussiansplatting/render.py)
+  --fit       vanilla 3DGS fitting against target images (train.py analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+logging.basicConfig(
+    level=logging.INFO, format="[%(levelname)s] %(asctime)s %(message)s"
+)
+log = logging.getLogger("dge_tpu")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="dge_tpu launcher")
+    p.add_argument("--config", type=str, help="experiment YAML")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("--train", action="store_true")
+    mode.add_argument("--test", action="store_true")
+    mode.add_argument("--render", action="store_true")
+    mode.add_argument("--fit", action="store_true")
+    p.add_argument("--gs_source", type=str, default=None, help="pretrained PLY")
+    p.add_argument("--source", type=str, default=None, help="COLMAP scene dir")
+    p.add_argument("--out", type=str, default="outputs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.utils import config as C
+
+    cfg = C.load_config(args.config, args.overrides) if args.config else {}
+    name = cfg.get("name", "dge")
+    tag = cfg.get("tag", "run")
+    trial_dir = C.make_trial_dir(args.out, name, tag)
+    with open(os.path.join(trial_dir, "parsed.yaml"), "w") as f:
+        import yaml
+
+        yaml.safe_dump(cfg, f)
+    log.info("trial dir: %s", trial_dir)
+
+    gs_source = args.gs_source or cfg.get("system", {}).get("gs_source")
+    source = args.source or cfg.get("data", {}).get("source")
+
+    if args.render or args.test:
+        run_render(cfg, gs_source, source, trial_dir)
+    elif args.fit:
+        run_fit(cfg, source, trial_dir, args.seed)
+    elif args.train:
+        run_edit(cfg, gs_source, source, trial_dir, args.seed)
+    else:
+        log.error("choose a mode: --train / --test / --render / --fit")
+        sys.exit(2)
+
+
+def _load_scene_and_cameras(gs_source, source, height=512, width=512):
+    from dge_tpu.scene import dataset as DS
+    from dge_tpu.scene import gaussians as G
+    from dge_tpu.scene.camera_arrays import CameraArrays
+
+    scene = G.load_ply(gs_source)
+    cs = DS.ColmapScene(source, height=height, width=width)
+    cams = [CameraArrays.from_camera(c) for c in cs.cameras]
+    return scene, cams, cs
+
+
+def run_render(cfg, gs_source, source, trial_dir):
+    """Config-1: render a pretrained PLY for every camera + save frames
+    (gaussiansplatting/render.py analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.ops import render as R
+    from dge_tpu.utils import saving
+
+    data_cfg = cfg.get("data", {})
+    h = int(data_cfg.get("height", 512))
+    w = int(data_cfg.get("width", 512))
+    scene, cams, cs = _load_scene_and_cameras(gs_source, source, h, w)
+    log.info("loaded %d gaussians, %d cameras", int(scene.n_alive), len(cams))
+
+    bg = jnp.zeros(3)
+    render_jit = jax.jit(
+        lambda s, c: R.render(s, c, bg, tile_px=32, max_per_tile=4096).color
+    )
+    out_dir = os.path.join(trial_dir, "renders")
+    frames = []
+    for i, cam in enumerate(cams):
+        img = np.asarray(render_jit(scene, cam))
+        saving.save_image(os.path.join(out_dir, f"{i:04d}.png"), img)
+        frames.append(img)
+    saving.save_video(os.path.join(trial_dir, "renders.mp4"), frames)
+    log.info("wrote %d renders to %s", len(frames), out_dir)
+
+
+def run_fit(cfg, source, trial_dir, seed):
+    """Config-2: vanilla 3DGS fitting against the capture's images
+    (gaussiansplatting/train.py analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.scene import dataset as DS
+    from dge_tpu.scene import gaussians as G
+    from dge_tpu.scene.camera_arrays import CameraArrays
+    from dge_tpu.systems import fit as F
+    from dge_tpu.systems import optim as O
+    from dge_tpu.utils import saving
+
+    data_cfg = cfg.get("data", {})
+    h = int(data_cfg.get("height", 512))
+    w = int(data_cfg.get("width", 512))
+    cs = DS.ColmapScene(source, height=h, width=w)
+    pts, cols = cs.point_cloud()
+    scene = G.create_from_pcd(pts, cols, max_sh_degree=3)
+    cams = [CameraArrays.from_camera(c) for c in cs.cameras]
+    targets = [
+        jnp.asarray(
+            saving.load_image(
+                os.path.join(cs.images_dir, c.image_name + ext), size=(h, w)
+            )
+        )
+        for c in cs.cameras
+        for ext in [_find_ext(cs.images_dir, c.image_name)]
+    ]
+
+    ocfg = O.OptimConfig.scaled(int(cfg.get("trainer", {}).get("max_steps", 7000)))
+    loop = F.FitLoop(ocfg, extent=cs.cameras_extent,
+                     spatial_lr_scale=cs.cameras_extent)
+    opt_state, fit_state = loop.init(scene)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    bg = jnp.zeros(3)
+    for step in range(ocfg.max_steps):
+        i = int(rng.integers(len(cams)))
+        scene, opt_state, fit_state, aux = loop.train_step(
+            scene, opt_state, fit_state, cams[i], targets[i], bg
+        )
+        key, sub = jax.random.split(key)
+        scene, opt_state, fit_state, _ = loop.maybe_densify(
+            scene, opt_state, fit_state, sub
+        )
+        if step % 100 == 0:
+            log.info(
+                "step %d loss %.4f psnr %.2f n=%d",
+                step, aux["loss"], aux["psnr"], int(scene.n_alive),
+            )
+    G.save_ply(scene, os.path.join(trial_dir, "point_cloud.ply"))
+
+
+def _find_ext(d, stem):
+    for ext in (".png", ".jpg", ".JPG", ".jpeg"):
+        if os.path.exists(os.path.join(d, stem + ext)):
+            return ext
+    return ".png"
+
+
+def run_edit(cfg, gs_source, source, trial_dir, seed):
+    """Config-4: the full DGE edit loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.diffusion import ip2p, tokenizer as T
+    from dge_tpu.scene import dataset as DS
+    from dge_tpu.scene import gaussians as G
+    from dge_tpu.scene.camera_arrays import CameraArrays
+    from dge_tpu.systems.edit import DGESystem, EditConfig
+    from dge_tpu.systems.guidance import DGEGuidance, GuidanceConfig
+    from dge_tpu.systems.prompts import PromptConfig, PromptProcessor
+    from dge_tpu.systems.segmentation import build_segmentor
+    from dge_tpu.utils.config import parse_structured
+
+    sys_cfg = cfg.get("system", {})
+    data_cfg = cfg.get("data", {})
+    h = int(data_cfg.get("height", 512))
+    w = int(data_cfg.get("width", 512))
+    max_views = int(data_cfg.get("max_view_num", 20))
+
+    scene, cams, cs = _load_scene_and_cameras(gs_source, source, h, w)
+    from dge_tpu.scene.dataset import subsample_views
+
+    sub = subsample_views(cs.cameras, max_views)
+    cams = [CameraArrays.from_camera(c) for c in sub]
+
+    ckpt_dir = sys_cfg.get("ip2p_checkpoint", None)
+    params = None
+    if ckpt_dir and os.path.isdir(ckpt_dir):
+        from dge_tpu.diffusion.weights import load_ip2p_checkpoint
+
+        log.info("loading IP2P weights from %s", ckpt_dir)
+        params = load_ip2p_checkpoint(ckpt_dir)
+    else:
+        log.warning(
+            "no IP2P checkpoint configured (system.ip2p_checkpoint) — using "
+            "RANDOM weights; edits will be noise. Provide a local diffusers "
+            "timbrooks/instruct-pix2pix directory for real edits."
+        )
+    models = ip2p.build_models(params=params)
+
+    tok = T.load_tokenizer(
+        os.path.join(ckpt_dir, "tokenizer") if ckpt_dir else None
+    )
+    pp = PromptProcessor(
+        tok,
+        lambda ids: ip2p.encode_text(models, jnp.asarray(ids)),
+        cache_dir=os.path.join(trial_dir, "text_cache"),
+        cfg=PromptConfig(
+            prompt=sys_cfg.get("prompt", ""),
+            negative_prompt=sys_cfg.get("negative_prompt", ""),
+        ),
+    )
+    po = pp()
+
+    g_cfg = parse_structured(GuidanceConfig, sys_cfg.get("guidance", {}))
+    guidance = DGEGuidance(g_cfg, models)
+
+    e_cfg = parse_structured(EditConfig, sys_cfg.get("edit", {}))
+    seg = build_segmentor(
+        sys_cfg.get("segmentor", "fallback"), sys_cfg.get("mask_dir", "")
+    )
+    system = DGESystem(
+        e_cfg,
+        scene,
+        cams,
+        guidance=guidance,
+        text_emb_pos=jnp.asarray(po.cond),
+        text_emb_neg=jnp.asarray(po.uncond),
+        cameras_extent=cs.cameras_extent,
+        cache_dir=os.path.join(trial_dir, "edit_cache"),
+        segmentor=seg,
+    )
+    final = system.run(jax.random.PRNGKey(seed), log_fn=log.info)
+    G.save_ply(final, os.path.join(trial_dir, "last.ply"))
+    log.info("saved edited scene to %s/last.ply", trial_dir)
+
+
+if __name__ == "__main__":
+    main()

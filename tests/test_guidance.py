@@ -1,0 +1,149 @@
+"""DGE guidance tests on tiny models: epipolar properties, cross-view state,
+and the full multi-view edit loop (smoke + consistency properties)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dge_tpu.diffusion import epipolar, ip2p
+from dge_tpu.models.clip_text import CLIPTextConfig
+from dge_tpu.models.unet import UNetConfig
+from dge_tpu.models.vae import VAEConfig
+from dge_tpu.systems.guidance import (
+    DGEGuidance,
+    GuidanceConfig,
+    make_cross_view_state,
+)
+from tests.test_parallel import ring_cameras
+from dge_tpu.parallel.mesh import stack_cameras
+
+
+class TestEpipolar:
+    def test_fundamental_annihilates_correspondences(self, rng):
+        """x2^T F x1 = 0 for projections of the same 3D point."""
+        cams = ring_cameras(2, height=64, width=64)
+        c1, c2 = cams
+        F = epipolar.fundamental_between(c1, c2, 64, 64)
+        pts = rng.normal(size=(20, 3)).astype(np.float32) * 0.5
+
+        def project(cam, p):
+            ph = np.asarray(cam.full_proj) @ np.append(p, 1.0)
+            ndc = ph[:2] / ph[3]
+            return np.array(
+                [((ndc[0] + 1) * 64 - 1) / 2, ((ndc[1] + 1) * 64 - 1) / 2, 1.0]
+            )
+
+        res = []
+        for p in pts:
+            x1 = project(c1, p)
+            x2 = project(c2, p)
+            res.append(abs(x2 @ np.asarray(F) @ x1))
+        # residuals are tiny relative to the F scale
+        scale = np.abs(np.asarray(F)).max() * 64 * 64
+        assert np.max(res) / scale < 1e-4
+
+    def test_violation_mask_zero_on_correspondences(self, rng):
+        cams = ring_cameras(2, height=16, width=16)
+        c1, c2 = cams
+        m = epipolar.violation_mask(c1, c2, 16, 16)
+        assert m.shape == (256, 256)
+        # a pixel pair that projects from the same 3D point must not violate
+        p = np.zeros(3)
+
+        def project(cam):
+            ph = np.asarray(cam.full_proj) @ np.append(p, 1.0)
+            ndc = ph[:2] / ph[3]
+            x = ((ndc[0] + 1) * 16 - 1) / 2
+            y = ((ndc[1] + 1) * 16 - 1) / 2
+            return int(round(y)) * 16 + int(round(x))
+
+        i1, i2 = project(c1), project(c2)
+        assert not bool(np.asarray(m)[i2, i1])
+        # but most pairs do violate
+        assert float(np.asarray(m).mean()) > 0.5
+
+    def test_camera_distance(self):
+        cams = ring_cameras(4, dist=2.0)
+        batch = stack_cameras(cams)
+        d = epipolar.camera_distances(batch.campos, batch.campos)
+        assert np.allclose(np.diag(np.asarray(d)), 0, atol=1e-5)
+        assert np.asarray(d)[0, 2] > np.asarray(d)[0, 1]  # opposite farther
+
+
+class TestCrossViewState:
+    def test_shapes_and_pivot_exemption(self):
+        cams = stack_cameras(ring_cameras(4, height=64, width=64))
+        keys = stack_cameras(ring_cameras(2, height=64, width=64, dist=3.4))
+        cv = make_cross_view_state(
+            cams, keys, jnp.asarray(1), 16, 16, n_key=2
+        )
+        assert cv.closest_cam.shape == (4, 2)
+        assert cv.blend_w1.shape == (4,)
+        assert set(cv.epipolar.keys()) == {256, 64, 16, 4}
+        m = np.asarray(cv.epipolar[256])
+        assert m.shape == (4, 2, 256, 256)
+        assert not m[1].any()  # pivot frame unconstrained
+        # blend weight in (0.5, 1): sigmoid of d2/(d1+d2) with d2 >= d1
+        w = np.asarray(cv.blend_w1)
+        assert np.all(w > 0.5) and np.all(w < 1.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_guidance():
+    models = ip2p.build_models(
+        UNetConfig.tiny(),
+        VAEConfig.tiny(),
+        CLIPTextConfig.tiny(),
+        rng=jax.random.PRNGKey(0),
+    )
+    cfg = GuidanceConfig(camera_batch_size=2, diffusion_steps=4)
+    return DGEGuidance(cfg, models)
+
+
+class TestGuidance:
+    def test_multiview_edit_smoke(self, tiny_guidance, rng):
+        g = tiny_guidance
+        b, h, w = 4, 32, 32  # latent 16x16 with tiny VAE (one downsample)
+        rgb = jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+        cond = jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+        d = g.models.unet.config.cross_attention_dim
+        pos = jnp.asarray(rng.normal(size=(b, 7, d)).astype(np.float32))
+        neg = jnp.asarray(rng.normal(size=(b, 7, d)).astype(np.float32))
+        cams = stack_cameras(ring_cameras(b, height=h, width=w))
+        out = g(rgb, cond, pos, neg, cams, jax.random.PRNGKey(1), max_step=500)
+        assert out.shape == (b, h, w, 3)
+        o = np.asarray(out)
+        assert np.isfinite(o).all()
+        assert o.min() >= 0.0 and o.max() <= 1.0
+
+    def test_single_view_edit_smoke(self, tiny_guidance, rng):
+        g = tiny_guidance
+        rgb = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+        d = g.models.unet.config.cross_attention_dim
+        pos = jnp.asarray(rng.normal(size=(2, 7, d)).astype(np.float32))
+        neg = jnp.asarray(rng.normal(size=(2, 7, d)).astype(np.float32))
+        out = ip2p.edit_images_single_view(
+            g.models, rgb, rgb, pos, neg, jax.random.PRNGKey(0),
+            t_start=500, num_steps=4,
+        )
+        assert out.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_sds_grad_shape(self, tiny_guidance, rng):
+        g = tiny_guidance
+        lat = jnp.asarray(rng.normal(size=(2, 16, 16, 4)).astype(np.float32))
+        cond = jnp.concatenate([lat, lat, jnp.zeros_like(lat)], axis=0)
+        d = g.models.unet.config.cross_attention_dim
+        emb = jnp.asarray(rng.normal(size=(6, 7, d)).astype(np.float32))
+        grad = g.compute_grad_sds(emb, lat, cond, 500, jax.random.PRNGKey(2))
+        assert grad.shape == lat.shape
+        assert np.isfinite(np.asarray(grad)).all()
+
+    def test_resize_rule_matches_reference(self):
+        # dge_guidance.py:505-511 for 512x512 -> unchanged; 480x640 -> 64-mult
+        assert ip2p.resize_to_64_multiple(512, 512) == (512, 512)
+        h, w = ip2p.resize_to_64_multiple(480, 640)
+        assert h % 64 == 0 and w % 64 == 0
