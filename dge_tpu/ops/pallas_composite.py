@@ -1,0 +1,230 @@
+"""Pallas TPU forward compositing kernel.
+
+The hot inner loop of rendering (reference renderCUDA,
+cuda_rasterizer/forward.cu:261-379) as a Mosaic kernel:
+
+- grid = (num_tiles, k_chunks), k innermost; per-tile carry (transmittance,
+  color, depth) lives in VMEM scratch across k steps.
+- per chunk: the Gaussian quadratic form is evaluated for all
+  (chunk x pixel) pairs with 6 broadcasted FMAs (the power is bilinear in
+  per-Gaussian coefficients and the pixel monomial basis), then alpha
+  masking and a Hillis-Steele cumulative product along the Gaussian axis
+  reproduce the sequential front-to-back compositing exactly (see
+  ops/composite.py for the math argument).
+- chunks beyond the tile's Gaussian count are skipped via scalar-prefetched
+  counts; fully saturated tiles skip remaining compute.
+
+Layouts: per-tile gathered features [T, 16, K] (features on sublanes, the
+depth-ordered Gaussian axis on lanes); pixels as a [1, P] lane vector;
+per-chunk working set [C, P] (C=chunk Gaussians on sublanes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dge_tpu.ops.composite import ALPHA_EPS, ALPHA_MAX, T_EPS
+
+# feature rows in the gathered data (padded to 16 sublanes for f32 tiling)
+_MX, _MY, _CA, _CB, _CC, _OP, _R, _G, _B, _D = range(10)
+FEAT = 16
+
+
+def _hillis_steele_cumprod(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inclusive cumulative product along axis 0 (length n, power of two)
+    via log2(n) shifted multiplies."""
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        x = x * jnp.where(row >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def _composite_kernel(
+    counts_ref,  # scalar prefetch [T] int32
+    data_ref,  # [1, FEAT, C] VMEM block
+    out_ref,  # [1, 8, P] VMEM block
+    trans_scr,  # [1, P]
+    color_scr,  # [4, P] rgb + depth
+    *,
+    tile_px: int,
+    tiles_x: int,
+    chunk: int,
+):
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    p = tile_px * tile_px
+
+    @pl.when(k == 0)
+    def _init():
+        trans_scr[...] = jnp.ones_like(trans_scr)
+        color_scr[...] = jnp.zeros_like(color_scr)
+
+    count = counts_ref[t]
+    base = k * chunk
+    live = jnp.logical_and(base < count, jnp.min(trans_scr[0, :]) >= T_EPS)
+    # NOTE: min(trans) >= T_EPS is a conservative whole-tile early-exit: once
+    # every pixel saturates, remaining chunks are skipped (the CUDA kernel's
+    # per-pixel `done` vote, forward.cu:312-314).
+
+    @pl.when(live)
+    def _work():
+        data = data_ref[0]  # [FEAT, C]
+        # pixel monomial basis [1, P]
+        pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        ox = (t % tiles_x) * tile_px
+        oy = (t // tiles_x) * tile_px
+        px = (ox + pid % tile_px).astype(jnp.float32)
+        py = (oy + pid // tile_px).astype(jnp.float32)
+
+        def row(i):
+            return data[i, :].reshape(chunk, 1)
+
+        a, b, c = row(_CA), row(_CB), row(_CC)
+        mx, my = row(_MX), row(_MY)
+        # power = -0.5 a dx^2 - 0.5 c dy^2 - b dx dy, expanded into
+        # per-Gaussian coefficients x pixel monomials (6 broadcasted FMAs)
+        f0 = -0.5 * a
+        f1 = -0.5 * c
+        f2 = -b
+        f3 = a * mx + b * my
+        f4 = c * my + b * mx
+        f5 = -(0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my)
+        power = (
+            f0 * (px * px)
+            + f1 * (py * py)
+            + f2 * (px * py)
+            + f3 * px
+            + f4 * py
+            + f5
+        )  # [C, P]
+
+        alpha = jnp.minimum(ALPHA_MAX, row(_OP) * jnp.exp(power))
+        slot = base + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        keep = (
+            (power <= 0.0)
+            & (alpha >= ALPHA_EPS)
+            & (slot < count)
+        )
+        eff = jnp.where(keep, alpha, 0.0)
+        one_minus = 1.0 - eff
+        cp = _hillis_steele_cumprod(one_minus, chunk)  # inclusive [C, P]
+        ex = cp / one_minus  # exclusive (one_minus >= 0.01, exact)
+        trans = trans_scr[0:1, :]  # [1, P]
+        t_hyp = trans * cp
+        applied = (t_hyp >= T_EPS).astype(jnp.float32)
+        w = eff * trans * ex * applied  # [C, P]
+
+        color_scr[0:1, :] += jnp.sum(w * row(_R), axis=0, keepdims=True)
+        color_scr[1:2, :] += jnp.sum(w * row(_G), axis=0, keepdims=True)
+        color_scr[2:3, :] += jnp.sum(w * row(_B), axis=0, keepdims=True)
+        color_scr[3:4, :] += jnp.sum(w * row(_D), axis=0, keepdims=True)
+        # product of one_minus over applied rows == cp at the last applied
+        # row; `applied` is a prefix of the monotone non-increasing cp, so
+        # min over applied rows (1.0 elsewhere) is that product — Mosaic has
+        # no reduce_prod, min is equivalent here.
+        trans_scr[...] = trans * jnp.min(
+            jnp.where(applied > 0, cp, 1.0), axis=0, keepdims=True
+        )
+
+    @pl.when(k == nk - 1)
+    def _write():
+        out_ref[0, 0:4, :] = color_scr[...]
+        out_ref[0, 4:5, :] = trans_scr[...]
+        out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
+
+
+def composite_tiles_pallas(
+    lists: jnp.ndarray,  # [T, K] indices into depth-sorted arrays
+    counts: jnp.ndarray,  # [T]
+    mean2d_s: jnp.ndarray,
+    conic_s: jnp.ndarray,
+    rgb_s: jnp.ndarray,
+    depth_s: jnp.ndarray,
+    opac_s: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    tiles_x: int,
+    tiles_y: int,
+    tile_px: int,
+    bg: jnp.ndarray,
+    chunk: int = 128,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (color [H, W, 3], depth [H, W], final_T [H, W])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_tiles, k = lists.shape
+    p = tile_px * tile_px
+    kp = -(-k // chunk) * chunk
+    if kp != k:
+        lists = jnp.pad(lists, ((0, 0), (0, kp - k)))
+
+    feat = jnp.stack(
+        [
+            mean2d_s[:, 0],
+            mean2d_s[:, 1],
+            conic_s[:, 0],
+            conic_s[:, 1],
+            conic_s[:, 2],
+            opac_s,
+            rgb_s[:, 0],
+            rgb_s[:, 1],
+            rgb_s[:, 2],
+            depth_s,
+        ],
+        axis=0,
+    )  # [10, N]
+    feat = jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 0)))
+    data = feat[:, lists]  # [FEAT, T, Kp]
+    data = jnp.swapaxes(data, 0, 1)  # [T, FEAT, Kp]
+
+    kernel = functools.partial(
+        _composite_kernel, tile_px=tile_px, tiles_x=tiles_x, chunk=chunk
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles, kp // chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, FEAT, chunk),
+                lambda t, k, *_: (t, 0, k),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 8, p), lambda t, k, *_: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, p), jnp.float32),
+            pltpu.VMEM((4, p), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
+        interpret=interpret,
+    )(counts.astype(jnp.int32), data)
+
+    rgbd = out[:, 0:4, :]  # [T, 4, P]
+    trans = out[:, 4, :]  # [T, P]
+    color = jnp.moveaxis(rgbd[:, 0:3, :], 1, -1)  # [T, P, 3]
+    color = color + trans[..., None] * bg[None, None, :]
+
+    def to_img(x):
+        trailing = x.shape[2:]
+        img = x.reshape((tiles_y, tiles_x, tile_px, tile_px) + trailing)
+        img = jnp.swapaxes(img, 1, 2).reshape(
+            (tiles_y * tile_px, tiles_x * tile_px) + trailing
+        )
+        return img[:height, :width]
+
+    return to_img(color), to_img(rgbd[:, 3, :]), to_img(trans)

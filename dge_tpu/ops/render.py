@@ -45,7 +45,10 @@ def render(
     override_color: Optional[jnp.ndarray] = None,
     mean2d_offset: Optional[jnp.ndarray] = None,
     chunk: int = 64,
+    backend: str = "jnp",
 ) -> RenderOut:
+    """backend: "jnp" (differentiable, XLA-fused) or "pallas" (TPU Mosaic
+    forward kernel, fastest inference path)."""
     bg = jnp.zeros(3, jnp.float32) if bg is None else jnp.asarray(bg, jnp.float32)
 
     prep = projection.preprocess(
@@ -76,6 +79,34 @@ def render(
         max_per_tile=max_per_tile,
     )
     order = bins.order
+
+    if backend == "pallas":
+        from dge_tpu.ops import pallas_composite
+
+        color, depth, final_t = pallas_composite.composite_tiles_pallas(
+            bins.lists,
+            bins.counts,
+            mean2d[order],
+            prep.conic[order],
+            prep.rgb[order],
+            prep.depth[order],
+            prep.opacity[order],
+            height=cam.height,
+            width=cam.width,
+            tiles_x=bins.tiles_x,
+            tiles_y=bins.tiles_y,
+            tile_px=tile_px,
+            bg=bg,
+            chunk=max(chunk, 128),
+        )
+        return RenderOut(
+            color=color,
+            depth=depth,
+            alpha=1.0 - final_t,
+            radii=prep.radius,
+            visible=prep.visible,
+            spill=bins.spill,
+        )
 
     out = composite.composite(
         bins.lists,

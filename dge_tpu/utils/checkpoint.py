@@ -1,0 +1,57 @@
+"""Checkpoint/resume.
+
+Reference analogs (SURVEY.md §5): Lightning ckpts + PLY snapshots +
+GaussianModel.capture()/restore() tuples (gaussian_model.py:110-204). Here a
+single orbax-backed checkpoint captures the full training state — scene
+pytree (including alive/grad_mask/generation), optimizer state, fit stats,
+and step — plus the PLY export for interchange with reference tooling.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, scene, opt_state, fit_state, extra: Optional[Dict] = None):
+    """Write a full training checkpoint (capture() analog)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {
+        "scene": scene,
+        "opt_state": opt_state,
+        "fit_state": fit_state,
+        "meta": {
+            "max_sh_degree": scene.max_sh_degree,
+            **(extra or {}),
+        },
+    }
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, scene_template, opt_state_template, fit_state_template):
+    """Restore into the provided templates (restore() analog; shapes must
+    match the capture)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    target = {
+        "scene": scene_template,
+        "opt_state": opt_state_template,
+        "fit_state": fit_state_template,
+        "meta": None,
+    }
+    restored = ckptr.restore(path, item=target)
+    return (
+        restored["scene"],
+        restored["opt_state"],
+        restored["fit_state"],
+        restored.get("meta") or {},
+    )

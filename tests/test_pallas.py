@@ -1,0 +1,36 @@
+"""Pallas compositing kernel vs the jnp reference (interpret mode on CPU;
+the same kernel compiles with Mosaic on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dge_tpu.ops import render
+from tests.conftest import make_random_scene, make_test_camera
+
+
+@pytest.mark.parametrize("angle", [0.0, 2.0])
+def test_pallas_matches_jnp(rng, angle):
+    scene = make_random_scene(rng, n=64)
+    _, cam = make_test_camera(height=32, width=32, angle=angle)
+    bg = jnp.array([0.2, 0.1, 0.4])
+    ref = render.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=32)
+    out = render.render(
+        scene, cam, bg, tile_px=16, max_per_tile=128, backend="pallas"
+    )
+    # Hillis-Steele cumprod reorders multiplies vs the sequential reference
+    # — agreement to ~1e-4 is the expected f32 associativity noise
+    assert np.allclose(out.color, ref.color, atol=1e-4), (
+        np.abs(np.asarray(out.color) - np.asarray(ref.color)).max()
+    )
+    assert np.allclose(out.depth, ref.depth, atol=1e-3)
+    assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
+
+
+def test_pallas_empty_tiles(rng):
+    # a scene confined to one corner: most tiles have zero gaussians
+    scene = make_random_scene(rng, n=8, spread=0.05)
+    _, cam = make_test_camera(height=32, width=32)
+    ref = render.render(scene, cam, tile_px=16, max_per_tile=128, chunk=32)
+    out = render.render(scene, cam, tile_px=16, max_per_tile=128, backend="pallas")
+    assert np.allclose(out.color, ref.color, atol=3e-5)

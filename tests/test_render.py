@@ -165,3 +165,32 @@ class TestApplyWeights:
         # right half of the image
         assert frac[0] > 0.9  # world -x gaussian fully inside right-half mask
         assert frac[-1] < 0.1  # world +x gaussian outside the mask
+
+
+class TestBinningVariants:
+    def test_pair_sort_matches_scan(self, rng):
+        """The default duplicate-and-sort binning must agree with the
+        prefix-sum compaction oracle entry for entry."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=256)
+        _, cam = make_test_camera(height=64, width=64)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        kw = dict(height=64, width=64, tile_px=16, max_per_tile=64)
+        a = binning.bin_gaussians(
+            prep.mean2d, prep.depth, prep.radius, prep.visible, **kw
+        )
+        b = binning.bin_gaussians_scan(
+            prep.mean2d, prep.depth, prep.radius, prep.visible, **kw
+        )
+        assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
+        assert np.array_equal(np.asarray(a.order), np.asarray(b.order))
+        ac, bc = np.asarray(a.lists), np.asarray(b.lists)
+        for t in range(ac.shape[0]):
+            c = int(a.counts[t])
+            assert np.array_equal(ac[t, :c], bc[t, :c]), t
+        assert int(a.spill) == int(b.spill)
