@@ -179,9 +179,10 @@ def edit_images_single_view(
     return decode_latents(models, latents)
 
 
-def resize_to_64_multiple(h: int, w: int) -> Tuple[int, int]:
-    """The guidance's 64-multiple resize rule (dge_guidance.py:505-511)."""
-    factor = 512 / max(w, h)
+def resize_to_64_multiple(h: int, w: int, target: int = 512) -> Tuple[int, int]:
+    """The guidance's 64-multiple resize rule (dge_guidance.py:505-511):
+    scale the long side to ~``target`` and round to 64 multiples."""
+    factor = target / max(w, h)
     factor = math.ceil(min(w, h) * factor / 64) * 64 / min(w, h)
     width = int((w * factor) // 64) * 64
     height = int((h * factor) // 64) * 64

@@ -87,7 +87,15 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (xyz [N,3] float64, rgb [N,3] float32 in [0,1])."""
+    """Returns (xyz [N,3] float64, rgb [N,3] float32 in [0,1]).
+
+    Uses the native parser (dge_tpu/native.py) when available — the Python
+    record loop is O(N) interpreter overhead on multi-million-point scenes."""
+    from dge_tpu.native import colmap_points3d
+
+    native = colmap_points3d(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.zeros((n, 3))

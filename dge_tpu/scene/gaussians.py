@@ -186,12 +186,11 @@ def mean_sq_dist_to_3nn(points: np.ndarray) -> np.ndarray:
 
     Reference analog: simple-knn distCUDA2 (simple_knn.cu:185-218), used to
     initialize Gaussian scales at create_from_pcd (gaussian_model.py:288-291).
-    Host-side KDTree (init-time only)."""
-    from scipy.spatial import cKDTree
+    Uses the native grid-hash KNN (dge_tpu/native.py) with a scipy KDTree
+    fallback."""
+    from dge_tpu.native import knn_mean_sq_dist
 
-    tree = cKDTree(points)
-    d, _ = tree.query(points, k=4)  # first neighbor is self
-    return np.mean(d[:, 1:] ** 2, axis=1)
+    return knn_mean_sq_dist(np.asarray(points, np.float32), k=3)
 
 
 def rgb_to_sh(rgb: np.ndarray) -> np.ndarray:

@@ -45,6 +45,9 @@ class GuidanceConfig:
     max_step_percent: float = 0.98
     normal_attn_below_t: int = 100
     epipolar_threshold: float = 1.0
+    # long-side target of the pre-VAE resize (dge_guidance.py:505-511 uses
+    # 512); tests lower it to keep latent sizes sane with tiny VAEs
+    resize_target: int = 512
 
 
 def _gather_cams(cams, idx):
@@ -310,7 +313,7 @@ class DGEGuidance:
         """Edit all views (guidance __call__, dge_guidance.py:480-569).
         Returns edited images at the input resolution."""
         b, h, w, _ = rgb.shape
-        rh, rw = P.resize_to_64_multiple(h, w)
+        rh, rw = P.resize_to_64_multiple(h, w, self.cfg.resize_target)
         if (rh, rw) != (h, w):
             rgb_r = jax.image.resize(rgb, (b, rh, rw, 3), "bilinear")
             cond_r = jax.image.resize(cond_rgb, (b, rh, rw, 3), "bilinear")

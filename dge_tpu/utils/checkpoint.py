@@ -20,18 +20,19 @@ def save_checkpoint(path: str, scene, opt_state, fit_state, extra: Optional[Dict
     """Write a full training checkpoint (capture() analog)."""
     import orbax.checkpoint as ocp
 
+    import json
+
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
     payload = {
         "scene": scene,
         "opt_state": opt_state,
         "fit_state": fit_state,
-        "meta": {
-            "max_sh_degree": scene.max_sh_degree,
-            **(extra or {}),
-        },
     }
-    ckptr.save(path, payload, force=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    meta = {"max_sh_degree": scene.max_sh_degree, **(extra or {})}
+    with open(path + "_meta.json", "w") as f:
+        json.dump(meta, f)
     return path
 
 
@@ -40,18 +41,23 @@ def restore_checkpoint(path: str, scene_template, opt_state_template, fit_state_
     match the capture)."""
     import orbax.checkpoint as ocp
 
+    import json
+
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
     target = {
         "scene": scene_template,
         "opt_state": opt_state_template,
         "fit_state": fit_state_template,
-        "meta": None,
     }
-    restored = ckptr.restore(path, item=target)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, target)
+    meta = {}
+    if os.path.exists(path + "_meta.json"):
+        with open(path + "_meta.json") as f:
+            meta = json.load(f)
     return (
         restored["scene"],
         restored["opt_state"],
         restored["fit_state"],
-        restored.get("meta") or {},
+        meta,
     )

@@ -30,7 +30,7 @@ def test_edit_system_end_to_end(tiny_models, rng, tmp_path):
     cams = ring_cameras(4, height=32, width=32)
     d = tiny_models.unet.config.cross_attention_dim
     guidance = DGEGuidance(
-        GuidanceConfig(camera_batch_size=2, diffusion_steps=2), tiny_models
+        GuidanceConfig(camera_batch_size=2, diffusion_steps=2, resize_target=64), tiny_models
     )
     cfg = EditConfig(
         max_steps=6,

@@ -99,7 +99,7 @@ def tiny_guidance():
         CLIPTextConfig.tiny(),
         rng=jax.random.PRNGKey(0),
     )
-    cfg = GuidanceConfig(camera_batch_size=2, diffusion_steps=4)
+    cfg = GuidanceConfig(camera_batch_size=2, diffusion_steps=4, resize_target=64)
     return DGEGuidance(cfg, models)
 
 
