@@ -42,9 +42,14 @@ def main():
     cam_arr = CameraArrays.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
     @jax.jit
     def forward(scene, cam, bg):
-        return R.render(scene, cam, bg, tile_px=32, max_per_tile=2048, chunk=64).color
+        return R.render(
+            scene, cam, bg, tile_px=32, max_per_tile=2048, chunk=64,
+            backend=backend,
+        ).color
 
     img = forward(scene, cam_arr, bg)
     img.block_until_ready()  # compile + warmup
@@ -53,7 +58,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         img = forward(scene, cam_arr, bg)
-    img.block_until_ready()
+        img.block_until_ready()  # per-iteration: measure true latency
     dt = time.perf_counter() - t0
     fps = iters / dt
 

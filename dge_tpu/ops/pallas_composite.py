@@ -71,10 +71,9 @@ def _composite_kernel(
 
     count = counts_ref[t]
     base = k * chunk
-    live = jnp.logical_and(base < count, jnp.min(trans_scr[0, :]) >= T_EPS)
-    # NOTE: min(trans) >= T_EPS is a conservative whole-tile early-exit: once
-    # every pixel saturates, remaining chunks are skipped (the CUDA kernel's
-    # per-pixel `done` vote, forward.cu:312-314).
+    # whole-tile early-exit: skip remaining chunks only once EVERY pixel has
+    # saturated (the CUDA kernel's all-threads-done vote, forward.cu:312-314)
+    live = jnp.logical_and(base < count, jnp.max(trans_scr[0, :]) >= T_EPS)
 
     @pl.when(live)
     def _work():
@@ -91,22 +90,12 @@ def _composite_kernel(
 
         a, b, c = row(_CA), row(_CB), row(_CC)
         mx, my = row(_MX), row(_MY)
-        # power = -0.5 a dx^2 - 0.5 c dy^2 - b dx dy, expanded into
-        # per-Gaussian coefficients x pixel monomials (6 broadcasted FMAs)
-        f0 = -0.5 * a
-        f1 = -0.5 * c
-        f2 = -b
-        f3 = a * mx + b * my
-        f4 = c * my + b * mx
-        f5 = -(0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my)
-        power = (
-            f0 * (px * px)
-            + f1 * (py * py)
-            + f2 * (px * py)
-            + f3 * px
-            + f4 * py
-            + f5
-        )  # [C, P]
+        # centered quadratic form (forward.cu:335-338). NOT expanded into
+        # pixel monomials: px^2 ~ 2.6e5 at 512^2 makes the expanded form
+        # lose ~6 f32 digits to cancellation.
+        dx = mx - px  # [C, P] broadcast
+        dy = my - py
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy  # [C, P]
 
         alpha = jnp.minimum(ALPHA_MAX, row(_OP) * jnp.exp(power))
         slot = base + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
