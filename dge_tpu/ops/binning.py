@@ -25,9 +25,10 @@ import jax.numpy as jnp
 
 
 class TileBins(NamedTuple):
-    lists: jnp.ndarray  # [T, K] int32 indices into the depth-sorted arrays
-    counts: jnp.ndarray  # [T] int32 number of valid entries (may exceed... no: capped)
-    order: jnp.ndarray  # [N] int32 depth-sort permutation
+    lists: jnp.ndarray  # [T, K] int32 per-tile Gaussian lists (depth order)
+    counts: jnp.ndarray  # [T] int32 number of valid entries (capped at K)
+    order: jnp.ndarray  # [N] int32 depth permutation the lists index into,
+    #                     or None when lists hold original ids directly
     spill: jnp.ndarray  # scalar int32 total overflow dropped across tiles
     tiles_x: int
     tiles_y: int
@@ -153,14 +154,17 @@ def bin_gaussians(
 ) -> TileBins:
     """Duplicate-and-sort binning — the TPU analog of the reference's
     duplicateWithKeys + cub radix sort (rasterizer_impl.cu:67-125, 248-270),
-    with static shapes:
+    with static shapes and NO separate depth pre-sort:
 
-    each depth-sorted Gaussian emits up to ``max_tiles_per_gaussian``
-    (tile, rank) pair keys ``tile * n_pad + rank``; one flat ``jnp.sort``
-    orders pairs by (tile, depth); ``searchsorted`` recovers per-tile ranges
-    (identifyTileRanges analog); a single gather builds the capped per-tile
-    lists. The Gaussian id is recovered from ``key % n_pad`` — no key/value
-    sort needed. Overflow beyond either cap is counted in ``spill``.
+    each Gaussian emits up to ``max_tiles_per_gaussian`` pair keys
+    ``tile << depth_bits | quantized_depth`` (the CUDA 64-bit
+    [tileID|depth] key, packed into int32 by quantizing view depth to the
+    bits left over after the tile id); one ``lax.sort`` carrying the
+    Gaussian id orders pairs by (tile, depth); ``searchsorted`` recovers
+    per-tile ranges (identifyTileRanges analog); a single gather builds the
+    capped per-tile lists holding ORIGINAL Gaussian ids (``order`` is
+    identity). Ties within a quantization bin keep submission order (stable
+    sort). Overflow beyond either cap is counted in ``spill``.
     """
     n = mean2d.shape[0]
     tiles_x = -(-width // tile_px)
@@ -168,11 +172,25 @@ def bin_gaussians(
     num_tiles = tiles_x * tiles_y
     m = max_tiles_per_gaussian
 
-    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
-    mean_s = mean2d[order]
-    rad_s = radius[order]
-    vis_s = visible[order]
-    x0, x1, y0, y1, vis_s = tile_rects(mean_s, rad_s, vis_s, tile_px, tiles_x, tiles_y)
+    x0, x1, y0, y1, vis = tile_rects(
+        mean2d, radius, visible, tile_px, tiles_x, tiles_y
+    )
+
+    bits_tile = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 31 - bits_tile
+    if depth_bits < 16:
+        raise ValueError(
+            f"too many tiles ({num_tiles}) for int32 [tile|depth] keys; "
+            "raise tile_px"
+        )
+    dmin = jnp.min(jnp.where(vis, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(vis, depth, -jnp.inf))
+    dq = jnp.clip(
+        (depth - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0
+    ) * ((1 << depth_bits) - 1)
+    # clamp AFTER the int cast: (2^27 - 1) rounds up to 2^27 in f32, which
+    # would overflow the depth field into the tile id
+    dq = jnp.clip(dq.astype(jnp.int32), 0, (1 << depth_bits) - 1)
 
     w = x1 - x0
     h = y1 - y0
@@ -181,37 +199,34 @@ def bin_gaussians(
     wsafe = jnp.maximum(w, 1)[:, None]
     tx = x0[:, None] + j[None, :] % wsafe
     ty = y0[:, None] + j[None, :] // wsafe
-    valid = (j[None, :] < cnt[:, None]) & vis_s[:, None]
+    valid = (j[None, :] < cnt[:, None]) & vis[:, None]
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+    keys = (tile_id << depth_bits) | dq[:, None]
+    ids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], keys.shape
+    )
+    keys, ids = jax.lax.sort(
+        (keys.reshape(-1), ids.reshape(-1)), num_keys=1, is_stable=True
+    )
 
-    use_i64 = (num_tiles + 1) * n >= 2**31
-    if use_i64 and not jax.config.jax_enable_x64:
-        raise ValueError(
-            f"binning keys overflow int32 (tiles={num_tiles}, n={n}); "
-            "enable jax_enable_x64 or raise tile_px"
-        )
-    dt = jnp.int64 if use_i64 else jnp.int32
-    rank = jnp.arange(n, dtype=dt)[:, None]
-    keys = jnp.sort((tile_id.astype(dt) * n + rank).reshape(-1))
-
-    tids = jnp.arange(num_tiles, dtype=dt) * n
+    tids = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
     starts = jnp.searchsorted(keys, tids)
-    ends = jnp.searchsorted(keys, tids + n)
+    ends = jnp.searchsorted(keys, tids + (1 << depth_bits))
     counts = jnp.minimum(ends - starts, max_per_tile).astype(jnp.int32)
     pos = jnp.clip(
-        starts[:, None] + jnp.arange(max_per_tile, dtype=dt)[None, :],
+        starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :],
         0,
         keys.shape[0] - 1,
     )
-    lists = (keys[pos] % n).astype(jnp.int32)
+    lists = ids[pos]
 
     spill = jnp.sum(jnp.maximum(ends - starts - max_per_tile, 0)) + jnp.sum(
-        jnp.where(vis_s, jnp.maximum(cnt - m, 0), 0)
+        jnp.where(vis, jnp.maximum(cnt - m, 0), 0)
     )
     return TileBins(
         lists=lists,
         counts=counts,
-        order=order,
+        order=None,
         spill=spill.astype(jnp.int32),
         tiles_x=tiles_x,
         tiles_y=tiles_y,

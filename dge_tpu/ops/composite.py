@@ -236,7 +236,7 @@ def lift_weights(
     w_tk = jnp.swapaxes(wacc, 0, 1).reshape(num_tiles, kp)
     c_tk = jnp.swapaxes(cacc, 0, 1).reshape(num_tiles, kp)
 
-    orig_idx = order[lists]  # [T, Kp] original Gaussian ids
+    orig_idx = lists if order is None else order[lists]  # original ids
     weights = jnp.zeros((num_gaussians,), jnp.float32).at[orig_idx.reshape(-1)].add(
         w_tk.reshape(-1)
     )

@@ -149,8 +149,13 @@ def composite_tiles_pallas(
     bg: jnp.ndarray,
     chunk: int = 128,
     interpret: bool | None = None,
+    order: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (color [H, W, 3], depth [H, W], final_T [H, W])."""
+    """Returns (color [H, W, 3], depth [H, W], final_T [H, W]).
+
+    When ``order`` is given, the ``*_s`` inputs are in ORIGINAL (unsorted)
+    index space and ``lists`` indexes the depth-sorted space; the two
+    gathers compose into one (no N-sized sort-gather intermediate)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     num_tiles, k = lists.shape
@@ -175,7 +180,8 @@ def composite_tiles_pallas(
         axis=0,
     )  # [10, N]
     feat = jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 0)))
-    data = feat[:, lists]  # [FEAT, T, Kp]
+    idx = lists if order is None else order[lists]
+    data = feat[:, idx]  # [FEAT, T, Kp]
     data = jnp.swapaxes(data, 0, 1)  # [T, FEAT, Kp]
 
     kernel = functools.partial(

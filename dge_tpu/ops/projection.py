@@ -64,10 +64,22 @@ def compute_cov3d(
 ) -> jnp.ndarray:
     """World-space 3D covariance from (activated) scale and normalized quat.
 
-    Sigma = R S S^T R^T (forward.cu:118-152). Returns full [N, 3, 3]."""
+    Sigma = R S S^T R^T (forward.cu:118-152). Returns full [N, 3, 3],
+    computed elementwise (Sigma[i,k] = sum_j R[i,j] R[k,j] s_j^2) to avoid
+    tiny batched matmuls."""
     R = quat_to_rotmat(quat)
-    M = R * (scale_modifier * scale)[..., None, :]  # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    s2 = (scale_modifier * scale) ** 2  # [N, 3]
+    rows = []
+    for i in range(3):
+        cols = []
+        for k in range(3):
+            cols.append(
+                R[..., i, 0] * R[..., k, 0] * s2[..., 0]
+                + R[..., i, 1] * R[..., k, 1] * s2[..., 1]
+                + R[..., i, 2] * R[..., k, 2] * s2[..., 2]
+            )
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
 
 
 def compute_cov2d(
@@ -82,7 +94,11 @@ def compute_cov2d(
     """EWA projection of 3D covariance to screen space (forward.cu:74-113).
 
     p_view: [N,3] view-space means; cov3d: [N,3,3]; w2c_rot: [3,3].
-    Returns [N, 3] upper-triangular (a, b, c) with the +0.3 low-pass."""
+    Returns [N, 3] upper-triangular (a, b, c) with the +0.3 low-pass.
+
+    Fully elementwise over [N] channels — per-Gaussian 2x3x3 matmul chains
+    lower to badly-tiled tiny batched dots on TPU; expanding the sparse J
+    structure keeps everything on wide VPU lanes."""
     tz = p_view[:, 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -90,21 +106,32 @@ def compute_cov2d(
     ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
 
     inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    # J rows (2x3): [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-    T = J @ w2c_rot  # [N, 2, 3]
-    cov = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # [N, 2, 2]
-    a = cov[:, 0, 0] + 0.3
-    b = cov[:, 0, 1]
-    c = cov[:, 1, 1] + 0.3
+    # rows of T = J @ W with J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+    w0 = w2c_rot[0]
+    w1 = w2c_rot[1]
+    w2 = w2c_rot[2]
+    c0 = focal_x * inv_z
+    c1 = -focal_x * tx * inv_z * inv_z
+    d1 = focal_y * inv_z
+    d2 = -focal_y * ty * inv_z * inv_z
+    # T0[k] = c0 * W[0,k] + c1 * W[2,k];  T1[k] = d1 * W[1,k] + d2 * W[2,k]
+    t0 = [c0 * w0[k] + c1 * w2[k] for k in range(3)]  # each [N]
+    t1 = [d1 * w1[k] + d2 * w2[k] for k in range(3)]
+
+    # cov2d = T S T^T with symmetric S (cov3d)
+    s = [[cov3d[:, i, j] for j in range(3)] for i in range(3)]
+
+    def quad(u, v):
+        # u . S . v for row vectors of [N] channels
+        acc = 0.0
+        for i in range(3):
+            si = s[i]
+            acc = acc + u[i] * (si[0] * v[0] + si[1] * v[1] + si[2] * v[2])
+        return acc
+
+    a = quad(t0, t0) + 0.3
+    b = quad(t0, t1)
+    c = quad(t1, t1) + 0.3
     return jnp.stack([a, b, c], axis=-1)
 
 

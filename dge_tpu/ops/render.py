@@ -78,7 +78,7 @@ def render(
         tile_px=tile_px,
         max_per_tile=max_per_tile,
     )
-    order = bins.order
+    order = bins.order  # None = lists hold original ids
 
     if backend == "pallas":
         from dge_tpu.ops import pallas_composite
@@ -86,11 +86,12 @@ def render(
         color, depth, final_t = pallas_composite.composite_tiles_pallas(
             bins.lists,
             bins.counts,
-            mean2d[order],
-            prep.conic[order],
-            prep.rgb[order],
-            prep.depth[order],
-            prep.opacity[order],
+            mean2d,
+            prep.conic,
+            prep.rgb,
+            prep.depth,
+            prep.opacity,
+            order=order,
             height=cam.height,
             width=cam.width,
             tiles_x=bins.tiles_x,
@@ -108,14 +109,17 @@ def render(
             spill=bins.spill,
         )
 
+    def by_order(x):
+        return x if order is None else x[order]
+
     out = composite.composite(
         bins.lists,
         bins.counts,
-        mean2d[order],
-        prep.conic[order],
-        prep.rgb[order],
-        prep.depth[order],
-        prep.opacity[order],
+        by_order(mean2d),
+        by_order(prep.conic),
+        by_order(prep.rgb),
+        by_order(prep.depth),
+        by_order(prep.opacity),
         height=cam.height,
         width=cam.width,
         tiles_x=bins.tiles_x,
@@ -172,13 +176,17 @@ def render_weights(
         max_per_tile=max_per_tile,
     )
     order = bins.order
+
+    def by_order(x):
+        return x if order is None else x[order]
+
     return composite.lift_weights(
         bins.lists,
         bins.counts,
         order,
-        prep.mean2d[order],
-        prep.conic[order],
-        prep.opacity[order],
+        by_order(prep.mean2d),
+        by_order(prep.conic),
+        by_order(prep.opacity),
         mask_img.astype(jnp.float32),
         num_gaussians=scene.capacity,
         height=cam.height,

@@ -188,9 +188,11 @@ class TestBinningVariants:
             prep.mean2d, prep.depth, prep.radius, prep.visible, **kw
         )
         assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
-        assert np.array_equal(np.asarray(a.order), np.asarray(b.order))
+        # a.lists hold original ids (order=None); b.lists index into b.order
+        assert a.order is None
+        order = np.asarray(b.order)
         ac, bc = np.asarray(a.lists), np.asarray(b.lists)
         for t in range(ac.shape[0]):
             c = int(a.counts[t])
-            assert np.array_equal(ac[t, :c], bc[t, :c]), t
+            assert np.array_equal(ac[t, :c], order[bc[t, :c]]), t
         assert int(a.spill) == int(b.spill)
