@@ -48,6 +48,12 @@ class GuidanceConfig:
     # long-side target of the pre-VAE resize (dge_guidance.py:505-511 uses
     # 512); tests lower it to keep latent sizes sane with tiny VAEs
     resize_target: int = 512
+    # how the per-step camera batches run: "loop" (sequential, reference
+    # semantics incl. 1-key first batch), "vmap" (all batches in one batched
+    # UNet call, uniform 2-key state; batch 0 duplicates its closest key
+    # with blend 1.0 — numerically identical to 1-key), or "shard"
+    # (same uniform state, batches sharded over a device mesh axis)
+    batch_mode: str = "loop"
 
 
 def _gather_cams(cams, idx):
@@ -262,6 +268,18 @@ class DGEGuidance:
                 models.unet_params, inp_p, jnp.asarray(t), te_p
             )
 
+            if cfg.batch_mode in ("vmap", "shard"):
+                eps_final = self._batched_reuse(
+                    latents, cams, key_cams, piv_off, t, lat_h, lat_w,
+                    triple_for, n_batches, cbs,
+                    pivot_vars,
+                )
+                latents = ddim.step(
+                    sched, eps_final, jnp.asarray(t), latents,
+                    cfg.diffusion_steps,
+                )
+                continue
+
             # per-batch non-pivot pass with pivot reuse
             eps_chunks = []
             for i in range(n_batches):
@@ -299,6 +317,99 @@ class DGEGuidance:
                 sched, eps_final, jnp.asarray(t), latents, cfg.diffusion_steps
             )
         return latents
+
+    def _batched_reuse(
+        self, latents, cams, key_cams, piv_off, t, lat_h, lat_w,
+        triple_for, n_batches, cbs, pivot_vars,
+    ):
+        """All camera batches in one vmapped (or view-mesh-sharded) UNet
+        call with uniform 2-key cross-view state — the multi-chip edit-round
+        parallelism of SURVEY.md §2.6 (view batches sharded across chips,
+        pivot hidden states replicated)."""
+        cfg = self.cfg
+        states = []
+        inps, tes = [], []
+        for i in range(n_batches):
+            sl = jnp.arange(i * cbs, (i + 1) * cbs)
+            cams_b = _gather_cams(cams, sl)
+            cv = make_cross_view_state(
+                cams_b, key_cams, jnp.asarray(piv_off[i]), lat_h, lat_w, 2,
+                cfg.epipolar_threshold,
+            )
+            if i == 0:
+                # reference batch 0 uses a single key: duplicate the closest
+                # key with blend 1.0 (exactly equivalent)
+                cv = cv.replace(
+                    closest_cam=jnp.stack(
+                        [cv.closest_cam[:, 0], cv.closest_cam[:, 0]], axis=1
+                    ),
+                    blend_w1=jnp.ones_like(cv.blend_w1),
+                    epipolar={
+                        s: jnp.stack([m[:, 0], m[:, 0]], axis=1)
+                        for s, m in cv.epipolar.items()
+                    },
+                )
+            states.append(cv)
+            te_b, cl_b = triple_for(sl)
+            inps.append(jnp.concatenate([P.triple(latents[sl]), cl_b], axis=-1))
+            tes.append(te_b)
+
+        cv_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states
+        )
+        inp = jnp.stack(inps)  # [nb, 3F, h, w, 8]
+        te = jnp.stack(tes)
+
+        key = ("batched_reuse", cfg.batch_mode)
+        if key not in self._jit_cache:
+            unet = self.models.unet
+
+            def one(params, pv, inp_b, t_b, te_b, cv_b):
+                return unet.apply(
+                    {"params": params, "pivot": pv},
+                    inp_b, jnp.full((inp_b.shape[0],), t_b), te_b,
+                    mode="pivot_reuse", cross_view=cv_b,
+                )
+
+            if cfg.batch_mode == "shard":
+                from jax.sharding import Mesh, PartitionSpec as Ps
+                import numpy as _np
+
+                devs = jax.devices()
+                nd = max(d for d in range(1, len(devs) + 1) if n_batches % d == 0)
+                mesh = Mesh(_np.array(devs[:nd]), ("batch",))
+
+                def fn(params, pv, inp, t_b, te, cv):
+                    body = jax.vmap(one, in_axes=(None, None, 0, None, 0, 0))
+                    shard = jax.shard_map(
+                        lambda p, v, i_, tt, te_, cv_: body(p, v, i_, tt, te_, cv_),
+                        mesh=mesh,
+                        in_specs=(Ps(), Ps(), Ps("batch"), Ps(), Ps("batch"),
+                                  Ps("batch")),
+                        out_specs=Ps("batch"),
+                        check_vma=False,
+                    )
+                    return shard(params, pv, inp, t_b, te, cv)
+
+            else:
+
+                def fn(params, pv, inp, t_b, te, cv):
+                    return jax.vmap(one, in_axes=(None, None, 0, None, 0, 0))(
+                        params, pv, inp, t_b, te, cv
+                    )
+
+            self._jit_cache[key] = jax.jit(fn)
+
+        eps = self._jit_cache[key](
+            self.models.unet_params, pivot_vars["pivot"], inp, jnp.asarray(t),
+            te, cv_stack,
+        )  # [nb, 3F, h, w, 4]
+        e_t = jnp.concatenate([e[0 * cbs : 1 * cbs] for e in eps], 0)
+        e_i = jnp.concatenate([e[1 * cbs : 2 * cbs] for e in eps], 0)
+        e_u = jnp.concatenate([e[2 * cbs : 3 * cbs] for e in eps], 0)
+        return P.cfg_combine(
+            e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+        )
 
     def __call__(
         self,

@@ -29,18 +29,21 @@ def C(value: Union[float, int, List], step: int) -> float:
 
 
 def dilate_mask(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
-    """Binary dilation with a 3x3 structuring element."""
+    """Binary dilation with a full 3x3 structuring element (cv2 semantics,
+    matching the reference's dilate_mask)."""
     from scipy import ndimage
 
-    return ndimage.binary_dilation(mask > 0.5, iterations=iterations).astype(
-        mask.dtype
-    )
+    return ndimage.binary_dilation(
+        mask > 0.5, structure=np.ones((3, 3), bool), iterations=iterations
+    ).astype(mask.dtype)
 
 
 def erode_mask(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
     from scipy import ndimage
 
-    return ndimage.binary_erosion(mask > 0.5, iterations=iterations).astype(mask.dtype)
+    return ndimage.binary_erosion(
+        mask > 0.5, structure=np.ones((3, 3), bool), iterations=iterations
+    ).astype(mask.dtype)
 
 
 def fill_closed_areas(mask: np.ndarray) -> np.ndarray:

@@ -147,3 +147,40 @@ class TestGuidance:
         assert ip2p.resize_to_64_multiple(512, 512) == (512, 512)
         h, w = ip2p.resize_to_64_multiple(480, 640)
         assert h % 64 == 0 and w % 64 == 0
+
+
+class TestBatchedReuse:
+    def _run(self, mode, rng):
+        models = ip2p.build_models(
+            UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+            rng=jax.random.PRNGKey(0),
+        )
+        g = DGEGuidance(
+            GuidanceConfig(
+                camera_batch_size=2, diffusion_steps=2, resize_target=64,
+                batch_mode=mode,
+            ),
+            models,
+        )
+        b, h, w = 4, 32, 32
+        r = np.random.default_rng(7)
+        rgb = jnp.asarray(r.uniform(size=(b, h, w, 3)).astype(np.float32))
+        cond = jnp.asarray(r.uniform(size=(b, h, w, 3)).astype(np.float32))
+        d = models.unet.config.cross_attention_dim
+        pos = jnp.asarray(r.normal(size=(b, 7, d)).astype(np.float32))
+        neg = jnp.asarray(r.normal(size=(b, 7, d)).astype(np.float32))
+        cams = stack_cameras(ring_cameras(b, height=h, width=w))
+        return g(rgb, cond, pos, neg, cams, jax.random.PRNGKey(3), max_step=400)
+
+    def test_vmap_matches_loop(self, rng):
+        """The batched (vmap) reuse path must agree with the sequential
+        reference-semantics loop (batch-0 key duplication is exact)."""
+        out_loop = self._run("loop", rng)
+        out_vmap = self._run("vmap", rng)
+        assert np.allclose(out_loop, out_vmap, atol=2e-4), (
+            np.abs(np.asarray(out_loop) - np.asarray(out_vmap)).max()
+        )
+
+    def test_shard_mode_runs(self, rng):
+        out = self._run("shard", rng)
+        assert np.isfinite(np.asarray(out)).all()
