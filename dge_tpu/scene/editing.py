@@ -28,12 +28,13 @@ MAX_ANCHOR_WEIGHT = 10.0  # gaussian_model.py:38
 def grow_mask_to_neighbors(
     scene: GaussianScene,
     mask: jnp.ndarray,
-    k: int = 16,
-    bbox_pad: float = 0.0,
+    dist_thresh: float = 0.1,
 ) -> jnp.ndarray:
-    """Extend a per-Gaussian bool mask to points whose k-NN include a masked
-    point inside the (padded) mask bbox (get_near_gaussians_by_mask,
-    gaussian_model.py:865-898). Host-side KDTree (editing-time only)."""
+    """Extend a per-Gaussian bool mask to nearby Gaussians: candidates inside
+    the masked set's 3-97% quantile bbox scaled by 1.3 whose nearest masked
+    neighbor is within ``dist_thresh`` (get_near_gaussians_by_mask,
+    gaussian_model.py:865-898). Returns the combined grown mask. Host-side
+    KDTree (editing-time only)."""
     from scipy.spatial import cKDTree
 
     xyz = np.asarray(scene.xyz)
@@ -42,20 +43,17 @@ def grow_mask_to_neighbors(
     if not m.any():
         return jnp.asarray(m)
     sel = xyz[m]
-    lo = sel.min(axis=0) - bbox_pad
-    hi = sel.max(axis=0) + bbox_pad
-    in_box = alive & np.all((xyz >= lo) & (xyz <= hi), axis=1)
-    cand = np.where(in_box & ~m)[0]
+    lo = np.quantile(sel, 0.03, axis=0)
+    hi = np.quantile(sel, 0.97, axis=0)
+    mid = (lo + hi) / 2
+    half = (hi - lo) * 1.3 / 2
+    lo, hi = mid - half, mid + half
+    cand = np.where(alive & ~m & np.all((xyz >= lo) & (xyz <= hi), axis=1))[0]
     if len(cand):
         tree = cKDTree(sel)
         d, _ = tree.query(xyz[cand], k=1)
-        # neighbor threshold: median masked-point spacing * 2
-        tree_m = cKDTree(sel)
-        dm, _ = tree_m.query(sel, k=min(2, len(sel)))
-        spacing = float(np.median(dm[:, -1])) if len(sel) > 1 else 0.0
-        near = cand[d <= max(spacing * 2.0, 1e-6)]
         m = m.copy()
-        m[near] = True
+        m[cand[d <= dist_thresh]] = True
     return jnp.asarray(m)
 
 

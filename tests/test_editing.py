@@ -27,8 +27,8 @@ def test_grow_mask(rng):
 
     pts = np.concatenate([a, b])
     scene = G.create_from_pcd(pts, np.ones((40, 3), np.float32) * 0.5)
-    mask = jnp.zeros(scene.capacity, bool).at[0].set(True)
-    grown = E.grow_mask_to_neighbors(scene, mask)
+    mask = jnp.zeros(scene.capacity, bool).at[:3].set(True)
+    grown = E.grow_mask_to_neighbors(scene, mask, dist_thresh=0.2)
     g = np.asarray(grown)
     assert g[:20].sum() > 1  # grew within cluster A
     assert g[20:40].sum() == 0  # cluster B untouched
