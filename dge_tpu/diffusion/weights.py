@@ -218,3 +218,37 @@ def convert_vgg16_torchvision(state_dict: Dict[str, Any]) -> Dict:
             "bias": b,
         }
     return tree
+
+
+def convert_clip_vision(state_dict: Dict[str, Any]) -> Dict:
+    """transformers CLIPVisionModelWithProjection -> models.clip_vision
+    params."""
+    sd = {}
+    pos = cls_emb = None
+    for k, v in state_dict.items():
+        k2 = k
+        for pre in ("vision_model.",):
+            if k2.startswith(pre):
+                k2 = k2[len(pre):]
+        k2 = k2.replace("embeddings.patch_embedding", "patch_embedding")
+        k2 = k2.replace("encoder.layers.", "layers.")
+        k2 = k2.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+        if "position_ids" in k2:
+            continue
+        if k2 == "embeddings.class_embedding":
+            cls_emb = v
+            continue
+        if k2 == "embeddings.position_embedding.weight":
+            pos = v
+            continue
+        sd[k2] = v
+    tree = convert_torch_state_dict(sd)
+    if cls_emb is not None:
+        tree["class_embedding"] = np.asarray(
+            cls_emb.detach().cpu().numpy() if hasattr(cls_emb, "detach") else cls_emb
+        )
+    if pos is not None:
+        tree["position_embedding"] = np.asarray(
+            pos.detach().cpu().numpy() if hasattr(pos, "detach") else pos
+        )
+    return tree

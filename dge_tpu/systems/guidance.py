@@ -235,88 +235,91 @@ class DGEGuidance:
             return te, cl
 
         for t in ts:
-            t = int(t)
-            if t < cfg.normal_attn_below_t:
-                # plain attention (use_normal_unet, dge_guidance.py:289-296)
-                te, cl = triple_for(jnp.arange(b))
-                inp = jnp.concatenate([P.triple(latents), cl], axis=-1)
-                eps = self._plain_fn()(
-                    models.unet_params, inp, jnp.asarray(t), te
-                )
-                e_t, e_i, e_u = jnp.split(eps, 3, axis=0)
-                eps_final = P.cfg_combine(
-                    e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
-                )
-                latents = ddim.step(
-                    sched, eps_final, jnp.asarray(t), latents, cfg.diffusion_steps
-                )
-                continue
-
-            # one random pivot per camera batch (edit_latents :305)
-            rng, r_piv = jax.random.split(rng)
-            piv_off = np.asarray(
-                jax.random.randint(r_piv, (n_batches,), 0, cbs)
-            )
-            pivotal_idx = piv_off + np.arange(0, b, cbs)
-            key_cams = _gather_cams(cams, jnp.asarray(pivotal_idx))
-
-            # pivot pass over all key frames (extended attention, recorded)
-            piv = jnp.asarray(pivotal_idx)
-            te_p, cl_p = triple_for(piv)
-            inp_p = jnp.concatenate([P.triple(latents[piv]), cl_p], axis=-1)
-            _, pivot_vars = self._pivot_fn()(
-                models.unet_params, inp_p, jnp.asarray(t), te_p
-            )
-
-            if cfg.batch_mode in ("vmap", "shard"):
-                eps_final = self._batched_reuse(
-                    latents, cams, key_cams, piv_off, t, lat_h, lat_w,
-                    triple_for, n_batches, cbs,
-                    pivot_vars,
-                )
-                latents = ddim.step(
-                    sched, eps_final, jnp.asarray(t), latents,
-                    cfg.diffusion_steps,
-                )
-                continue
-
-            # per-batch non-pivot pass with pivot reuse
-            eps_chunks = []
-            for i in range(n_batches):
-                sl = jnp.arange(i * cbs, (i + 1) * cbs)
-                cams_b = _gather_cams(cams, sl)
-                n_key = 1 if i == 0 else 2  # make_dge_block batch_idxs
-                cv = make_cross_view_state(
-                    cams_b,
-                    key_cams,
-                    jnp.asarray(piv_off[i]),
-                    lat_h,
-                    lat_w,
-                    n_key,
-                    cfg.epipolar_threshold,
-                )
-                te_b, cl_b = triple_for(sl)
-                inp_b = jnp.concatenate([P.triple(latents[sl]), cl_b], axis=-1)
-                eps_b = self._batch_fn(n_key)(
-                    models.unet_params,
-                    pivot_vars["pivot"],
-                    inp_b,
-                    jnp.asarray(t),
-                    te_b,
-                    cv,
-                )
-                eps_chunks.append(eps_b)
-
-            e_t = jnp.concatenate([jnp.split(e, 3)[0] for e in eps_chunks], 0)
-            e_i = jnp.concatenate([jnp.split(e, 3)[1] for e in eps_chunks], 0)
-            e_u = jnp.concatenate([jnp.split(e, 3)[2] for e in eps_chunks], 0)
-            eps_final = P.cfg_combine(
-                e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+            rng, r_step = jax.random.split(rng)
+            eps_final = self._predict_eps_multiview(
+                latents, int(t), cams, triple_for, b, cbs, n_batches,
+                lat_h, lat_w, r_step,
             )
             latents = ddim.step(
-                sched, eps_final, jnp.asarray(t), latents, cfg.diffusion_steps
+                sched, eps_final, jnp.asarray(int(t)), latents,
+                cfg.diffusion_steps,
             )
         return latents
+
+    def _predict_eps_multiview(
+        self, latents, t, cams, triple_for, b, cbs, n_batches, lat_h, lat_w,
+        rng,
+    ):
+        """One CFG-combined multi-view noise prediction at timestep t —
+        the body of the reference's edit_latents / compute_grad_sds
+        (dge_guidance.py:289-371, 376-475): plain attention below t=100,
+        otherwise pivot pass + epipolar-constrained reuse per camera
+        batch."""
+        cfg = self.cfg
+        models = self.models
+
+        if t < cfg.normal_attn_below_t:
+            # plain attention (use_normal_unet, dge_guidance.py:289-296)
+            te, cl = triple_for(jnp.arange(b))
+            inp = jnp.concatenate([P.triple(latents), cl], axis=-1)
+            eps = self._plain_fn()(models.unet_params, inp, jnp.asarray(t), te)
+            e_t, e_i, e_u = jnp.split(eps, 3, axis=0)
+            return P.cfg_combine(
+                e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+            )
+
+        # one random pivot per camera batch (edit_latents :305)
+        piv_off = np.asarray(jax.random.randint(rng, (n_batches,), 0, cbs))
+        pivotal_idx = piv_off + np.arange(0, b, cbs)
+        key_cams = _gather_cams(cams, jnp.asarray(pivotal_idx))
+
+        # pivot pass over all key frames (extended attention, recorded)
+        piv = jnp.asarray(pivotal_idx)
+        te_p, cl_p = triple_for(piv)
+        inp_p = jnp.concatenate([P.triple(latents[piv]), cl_p], axis=-1)
+        _, pivot_vars = self._pivot_fn()(
+            models.unet_params, inp_p, jnp.asarray(t), te_p
+        )
+
+        if cfg.batch_mode in ("vmap", "shard"):
+            return self._batched_reuse(
+                latents, cams, key_cams, piv_off, t, lat_h, lat_w,
+                triple_for, n_batches, cbs, pivot_vars,
+            )
+
+        # per-batch non-pivot pass with pivot reuse
+        eps_chunks = []
+        for i in range(n_batches):
+            sl = jnp.arange(i * cbs, (i + 1) * cbs)
+            cams_b = _gather_cams(cams, sl)
+            n_key = 1 if i == 0 else 2  # make_dge_block batch_idxs
+            cv = make_cross_view_state(
+                cams_b,
+                key_cams,
+                jnp.asarray(piv_off[i]),
+                lat_h,
+                lat_w,
+                n_key,
+                cfg.epipolar_threshold,
+            )
+            te_b, cl_b = triple_for(sl)
+            inp_b = jnp.concatenate([P.triple(latents[sl]), cl_b], axis=-1)
+            eps_b = self._batch_fn(n_key)(
+                models.unet_params,
+                pivot_vars["pivot"],
+                inp_b,
+                jnp.asarray(t),
+                te_b,
+                cv,
+            )
+            eps_chunks.append(eps_b)
+
+        e_t = jnp.concatenate([jnp.split(e, 3)[0] for e in eps_chunks], 0)
+        e_i = jnp.concatenate([jnp.split(e, 3)[1] for e in eps_chunks], 0)
+        e_u = jnp.concatenate([jnp.split(e, 3)[2] for e in eps_chunks], 0)
+        return P.cfg_combine(
+            e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
+        )
 
     def _batched_reuse(
         self, latents, cams, key_cams, piv_off, t, lat_h, lat_w,
@@ -445,6 +448,72 @@ class DGEGuidance:
         if (rh, rw) != (h, w):
             imgs = jax.image.resize(imgs, (b, h, w, 3), "bilinear")
         return imgs
+
+    def update_step(
+        self,
+        min_step_percent: Optional[float] = None,
+        max_step_percent: Optional[float] = None,
+    ) -> None:
+        """Anneal the noise-level window (DGEGuidance.update_step,
+        dge_guidance.py:571-586; driven by C() schedules in configs)."""
+        n = self.models.schedule.num_train_timesteps
+        if min_step_percent is not None:
+            self.min_step = int(n * min_step_percent)
+        if max_step_percent is not None:
+            self.max_step = int(n * max_step_percent)
+
+    def sds_multiview(
+        self,
+        rgb: jnp.ndarray,
+        cond_rgb: jnp.ndarray,
+        text_emb_pos: jnp.ndarray,
+        text_emb_neg: jnp.ndarray,
+        cams,
+        rng: jax.Array,
+        t: Optional[int] = None,
+    ):
+        """Full multi-view SDS (use_sds path, dge_guidance.py:548-566 +
+        compute_grad_sds :376-475): noise at t, one pivot/epipolar-attended
+        eps prediction, grad = w (eps - noise), returned with the
+        reference's loss form 0.5 * ||latents - (latents - grad)||^2 / B."""
+        cfg = self.cfg
+        models = self.models
+        b, h, w, _ = rgb.shape
+        rh, rw = P.resize_to_64_multiple(h, w, cfg.resize_target)
+        if (rh, rw) != (h, w):
+            rgb = jax.image.resize(rgb, (b, rh, rw, 3), "bilinear")
+            cond_rgb = jax.image.resize(cond_rgb, (b, rh, rw, 3), "bilinear")
+        rng, r_enc, r_noise, r_piv = jax.random.split(rng, 4)
+        latents = P.encode_images(models, rgb, r_enc)
+        cond_latents = P.encode_cond_images(models, cond_rgb)
+        emb_pos, emb_neg = text_emb_pos, text_emb_neg
+        cond_img, _, cond_zero = jnp.split(cond_latents, 3, axis=0)
+
+        def triple_for(idx):
+            te = jnp.concatenate([emb_pos[idx], emb_neg[idx], emb_neg[idx]], 0)
+            cl = jnp.concatenate(
+                [cond_img[idx], cond_img[idx], cond_zero[idx]], 0
+            )
+            return te, cl
+
+        t = int(t if t is not None else self.max_step - 1)
+        noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+        noisy = ddim.add_noise(
+            models.schedule, latents, noise, jnp.full((b,), t)
+        )
+        cbs = cfg.camera_batch_size
+        n_batches = max(b // cbs, 1)
+        eps_final = self._predict_eps_multiview(
+            noisy, t, cams, triple_for, b, cbs, n_batches,
+            latents.shape[1], latents.shape[2], r_piv,
+        )
+        w_t = 1.0 - models.schedule.alphas_cumprod[t]
+        grad = w_t * (eps_final - noise)
+        grad = jnp.nan_to_num(grad)
+        target = jax.lax.stop_gradient(latents - grad)
+        loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / b
+        return {"grad": grad, "loss_sds": loss_sds,
+                "grad_norm": jnp.linalg.norm(grad)}
 
     def compute_grad_sds(
         self,

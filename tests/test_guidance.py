@@ -184,3 +184,26 @@ class TestBatchedReuse:
     def test_shard_mode_runs(self, rng):
         out = self._run("shard", rng)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSDSMultiview:
+    def test_sds_multiview_full_machinery(self, tiny_guidance, rng):
+        """SDS with the pivot/epipolar attention path (t >= 100)."""
+        g = tiny_guidance
+        b, h, w = 4, 32, 32
+        rgb = jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+        d = g.models.unet.config.cross_attention_dim
+        pos = jnp.asarray(rng.normal(size=(b, 7, d)).astype(np.float32))
+        neg = jnp.asarray(rng.normal(size=(b, 7, d)).astype(np.float32))
+        cams = stack_cameras(ring_cameras(b, height=h, width=w))
+        out = g.sds_multiview(rgb, rgb, pos, neg, cams, jax.random.PRNGKey(0),
+                              t=500)
+        assert out["grad"].shape[0] == b
+        assert np.isfinite(np.asarray(out["grad"])).all()
+        assert float(out["loss_sds"]) >= 0
+
+    def test_update_step(self, tiny_guidance):
+        g = tiny_guidance
+        g.update_step(0.1, 0.5)
+        assert g.min_step == 100 and g.max_step == 500
+        g.update_step(0.02, 0.98)

@@ -192,3 +192,46 @@ class TestDDIM:
         # (~0.029) of the noise, so recovery is approximate by design
         err = np.abs(np.asarray(x - x0))
         assert err.mean() < 0.05 and err.max() < 0.2, (err.mean(), err.max())
+
+
+class TestCLIPVision:
+    def test_features_and_similarity(self, rng):
+        import jax
+
+        from dge_tpu.diffusion.tokenizer import HashTokenizer
+        from dge_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from dge_tpu.models.clip_vision import (
+            CLIPVisionConfig,
+            CLIPVisionModel,
+            ClipSimilarity,
+        )
+
+        vcfg = CLIPVisionConfig.tiny()
+        vision = CLIPVisionModel(vcfg)
+        x = jnp.zeros((1, 32, 32, 3))
+        vparams = vision.init(jax.random.PRNGKey(0), x)["params"]
+
+        tcfg = CLIPTextConfig.tiny()
+        # projection_dim of tiny vision == 16; text hidden 32 — use a text
+        # encoder with hidden == projection for the metric
+        tcfg = tcfg.replace(hidden_size=16, num_heads=2, intermediate_size=32)
+        text = CLIPTextModel(tcfg)
+        tparams = text.init(jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32))[
+            "params"
+        ]
+        sim = ClipSimilarity(
+            vision,
+            vparams,
+            lambda ids: text.apply({"params": tparams}, ids),
+            HashTokenizer(vocab_size=tcfg.vocab_size, max_length=tcfg.max_length),
+        )
+        imgs = rng.uniform(size=(2, 24, 24, 3)).astype(np.float32)
+        s_src, s_edit, s_dir, s_img = sim(
+            imgs, imgs + 0.1, ["a photo"] * 2, ["a painting"] * 2
+        )
+        for v in (s_src, s_edit, s_dir, s_img):
+            assert v.shape == (2,)
+            assert np.isfinite(v).all()
+        # identical images => image similarity ~1
+        _, _, _, s_same = sim(imgs, imgs, ["a"] * 2, ["b"] * 2)
+        assert np.allclose(s_same, 1.0, atol=1e-5)
