@@ -122,7 +122,10 @@ def convert_vae(state_dict: Dict[str, Any]) -> Dict:
         k2 = k2.replace(".value.", ".to_v.").replace(".proj_attn.", ".to_out_0.")
         sd[k2] = v
     tree = convert_torch_state_dict(sd)
-    return _flatten_block_names(tree)
+    for sub in ("encoder", "decoder"):
+        if sub in tree:
+            tree[sub] = _flatten_block_names(tree[sub])
+    return tree
 
 
 def convert_clip_text(state_dict: Dict[str, Any]) -> Dict:

@@ -178,6 +178,23 @@ def write_images_binary(images: Dict[int, ColmapImage], path: str) -> None:
             f.write(struct.pack("<Q", 0))
 
 
+def write_points3d_binary(
+    xyz: np.ndarray, rgb: np.ndarray, path: str
+) -> None:
+    """rgb in [0,1] floats or uint8."""
+    if rgb.dtype != np.uint8:
+        rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(xyz)))
+        for i in range(len(xyz)):
+            f.write(
+                struct.pack(
+                    "<QdddBBBd", i, *xyz[i].astype(float), *rgb[i], 0.0
+                )
+            )
+            f.write(struct.pack("<Q", 0))
+
+
 def load_sparse(sparse_dir: str):
     """Load (cameras, images) from a COLMAP sparse dir, preferring binary
     (reference readColmapSceneInfo, dataset_readers.py:163-189)."""

@@ -224,6 +224,22 @@ class FitLoop:
     def init(self, scene: GaussianScene):
         return self.optimizer.init(scene.params()), FitState.create(scene.capacity)
 
+    def maybe_housekeep(self, scene, opt_state, fit_state):
+        """Periodic non-densify upkeep: opacity reset every
+        opacity_reset_interval steps (train.py:97-99) and SH degree step-up
+        every 1000 steps (train.py:52-54, oneupSHdegree)."""
+        step = int(fit_state.step)
+        if step > 0 and step % 1000 == 0:
+            scene = scene.one_up_sh_degree()
+        if (
+            self.cfg.opacity_reset_interval > 0
+            and step > 0
+            and step % self.cfg.opacity_reset_interval == 0
+        ):
+            scene, rows = D.reset_opacity(scene)
+            opt_state = O.zero_adam_rows(opt_state, rows, fields=("opacity",))
+        return scene, opt_state, fit_state
+
     def maybe_densify(self, scene, opt_state, fit_state, key, generation_num=0):
         step = int(fit_state.step)
         if (

@@ -166,6 +166,9 @@ def run_fit(cfg, source, trial_dir, seed):
         scene, opt_state, fit_state, _ = loop.maybe_densify(
             scene, opt_state, fit_state, sub
         )
+        scene, opt_state, fit_state = loop.maybe_housekeep(
+            scene, opt_state, fit_state
+        )
         if step % 100 == 0:
             log.info(
                 "step %d loss %.4f psnr %.2f n=%d",
