@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from dge_tpu.scene import colmap
-from dge_tpu.scene.cameras import Camera, focal2fov, qvec2rotmat
+from dge_tpu.scene.cameras import Camera, focal2fov, fov2focal, qvec2rotmat
 
 
 def nerfpp_norm(cameras: Sequence[Camera]) -> dict:
@@ -103,6 +103,60 @@ class ColmapScene:
         if os.path.exists(pb):
             return colmap.read_points3d_binary(pb)
         return colmap.read_points3d_text(os.path.join(sparse, "points3D.txt"))
+
+
+class BlenderScene:
+    """NeRF-synthetic (Blender) loader: transforms_{split}.json with
+    camera_angle_x + c2w frames (reference readNerfSyntheticInfo /
+    readCamerasFromTransforms, dataset_readers.py:199-359). Blender c2w uses
+    OpenGL axes (y up, z back); converted to the COLMAP convention here."""
+
+    def __init__(
+        self,
+        source_path: str,
+        split: str = "train",
+        height: int = 800,
+        width: int = 800,
+    ):
+        import json
+
+        path = os.path.join(source_path, f"transforms_{split}.json")
+        with open(path) as f:
+            meta = json.load(f)
+        fovx = float(meta["camera_angle_x"])
+        cameras: List[Camera] = []
+        self.image_paths: List[str] = []
+        for uid, frame in enumerate(meta["frames"]):
+            c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+            # OpenGL -> COLMAP: flip y and z axes of the camera frame
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            R = w2c[:3, :3].T  # camera-to-world rotation, reference layout
+            T = w2c[:3, 3]
+            fovy = focal2fov(fov2focal(fovx, width), height)
+            cameras.append(
+                Camera(
+                    R=R, T=T, fovx=fovx, fovy=fovy, height=height, width=width,
+                    uid=uid, image_name=os.path.basename(frame["file_path"]),
+                )
+            )
+            self.image_paths.append(
+                os.path.join(source_path, frame["file_path"])
+            )
+        self.cameras = cameras
+        self.cameras_extent = nerfpp_norm(cameras)["radius"]
+        self.source_path = source_path
+
+
+def load_scene(source_path: str, height: int = 512, width: int = 512):
+    """Dispatch on capture type (sceneLoadTypeCallbacks analog,
+    dataset_readers.py:361-365): COLMAP `sparse/` or Blender
+    `transforms_train.json`."""
+    if os.path.isdir(os.path.join(source_path, "sparse")):
+        return ColmapScene(source_path, height=height, width=width)
+    if os.path.exists(os.path.join(source_path, "transforms_train.json")):
+        return BlenderScene(source_path, height=height, width=width)
+    raise FileNotFoundError(f"unrecognized scene type at {source_path}")
 
 
 def subsample_views(

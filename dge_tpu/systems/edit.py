@@ -82,10 +82,13 @@ class DGESystem:
         cameras_extent: float = 1.0,
         cache_dir: Optional[str] = None,
         segmentor: Optional[Callable] = None,
+        camera_pool: Optional[Sequence[CameraArrays]] = None,
     ):
         self.cfg = cfg
         self.scene = scene
         self.cameras = list(cameras)
+        # full camera pool for per-round view resampling (gs_load.py:286-292)
+        self.camera_pool = list(camera_pool) if camera_pool is not None else None
         self.guidance = guidance
         self.text_emb_pos = text_emb_pos
         self.text_emb_neg = text_emb_neg
@@ -175,9 +178,30 @@ class DGESystem:
         gmask = (frac > self.cfg.mask_thres) & self.scene.alive
         self.scene = self.scene.replace(grad_mask=gmask.astype(jnp.float32))
 
+    def resample_views(self, seed: int) -> None:
+        """Re-draw the working view subset from the full camera pool
+        (GSLoadIterableDataset.update_cameras, gs_load.py:286-292; DGE
+        re-samples after the first edit round, DGE.py:528-535)."""
+        pool = getattr(self, "camera_pool", None)
+        if pool is None or len(pool) <= len(self.view_list):
+            return
+        r = np.random.default_rng(seed)
+        idx = sorted(
+            r.choice(len(pool), size=len(self.view_list), replace=False)
+        )
+        self.cameras = [pool[i] for i in idx]
+        self.view_list = list(range(len(self.cameras)))
+        self.origin_frames = {}
+        self.render_all_views()
+
     # ---- stage 1: multi-view edit round (edit_all_view, DGE.py:523-586) ----
-    def edit_all_views(self, rng: jax.Array, global_step: int = 0) -> None:
+    def edit_all_views(
+        self, rng: jax.Array, global_step: int = 0, update_camera: bool = False
+    ) -> None:
         from dge_tpu.parallel.mesh import stack_cameras
+
+        if update_camera:
+            self.resample_views(global_step + 1)
 
         cfg = self.cfg
         sched = list(cfg.added_noise_schedule)
@@ -244,7 +268,10 @@ class DGESystem:
         for step in range(steps):
             if step % cfg.camera_update_per_step == 0:
                 rng, r_edit = jax.random.split(rng)
-                self.edit_all_views(r_edit, global_step=step)
+                # re-draw the view subset after the first round (DGE.py:528)
+                self.edit_all_views(
+                    r_edit, global_step=step, update_camera=step > 0
+                )
             vid = self.view_list[view_rng.integers(len(self.view_list))]
             rng, r_fit = jax.random.split(rng)
             aux = self.fit_step(vid, r_fit)

@@ -90,3 +90,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_gauss_sharded_preprocess_matches(rng):
+    """Gaussian-axis-sharded preprocess == single-device preprocess."""
+    from dge_tpu.ops import projection
+    from dge_tpu.parallel import gauss_shard as GS
+
+    scene = make_random_scene(rng, n=100, capacity=128)  # 128 % 8 == 0
+    cams = ring_cameras(1, height=32, width=32)
+    cam = cams[0]
+    ref = projection.preprocess(
+        scene.xyz, scene.get_scaling, scene.get_rotation, scene.get_opacity,
+        scene.get_features, scene.alive, cam, scene.active_sh_degree,
+        scene.max_sh_degree,
+    )
+    mesh = GS.make_gauss_mesh(8)
+    out = GS.sharded_preprocess(mesh, scene, cam)
+    for name in ref._fields:
+        a, b = getattr(ref, name), getattr(out, name)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                           equal_nan=True), name
