@@ -231,3 +231,89 @@ def bin_gaussians(
         tiles_x=tiles_x,
         tiles_y=tiles_y,
     )
+
+
+class PairBins(NamedTuple):
+    """Pair-stream binning output: the depth-ordered (tile, Gaussian) pair
+    stream itself, instead of materialized per-tile lists — the kernel reads
+    contiguous stream chunks per tile (no [T, K] gather)."""
+
+    pair_ids: jnp.ndarray  # [P_cap] int32 original Gaussian ids, tile-major
+    starts: jnp.ndarray  # [T] int32 stream offset of each tile's range
+    counts: jnp.ndarray  # [T] int32 (capped at max_per_tile)
+    spill: jnp.ndarray  # scalar int32
+    tiles_x: int
+    tiles_y: int
+
+
+def bin_gaussians_pairs(
+    mean2d: jnp.ndarray,
+    depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    visible: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    tile_px: int = 32,
+    max_per_tile: int = 2048,
+    max_tiles_per_gaussian: int = 32,
+    max_pairs: int = 1 << 18,
+) -> PairBins:
+    """Same duplicate-and-sort as bin_gaussians, but returning the sorted
+    pair stream truncated to ``max_pairs`` (valid pairs sort before the
+    sentinel tile, so the stream prefix is exactly the concatenation of all
+    tiles' depth-ordered lists)."""
+    n = mean2d.shape[0]
+    tiles_x = -(-width // tile_px)
+    tiles_y = -(-height // tile_px)
+    num_tiles = tiles_x * tiles_y
+    m = max_tiles_per_gaussian
+
+    x0, x1, y0, y1, vis = tile_rects(
+        mean2d, radius, visible, tile_px, tiles_x, tiles_y
+    )
+    bits_tile = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 31 - bits_tile
+    if depth_bits < 16:
+        raise ValueError(f"too many tiles ({num_tiles}) for int32 keys")
+    dmin = jnp.min(jnp.where(vis, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(vis, depth, -jnp.inf))
+    dq = jnp.clip(
+        (depth - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0
+    ) * ((1 << depth_bits) - 1)
+    dq = jnp.clip(dq.astype(jnp.int32), 0, (1 << depth_bits) - 1)
+
+    w = x1 - x0
+    h = y1 - y0
+    cnt = w * h
+    j = jnp.arange(m, dtype=jnp.int32)
+    wsafe = jnp.maximum(w, 1)[:, None]
+    tx = x0[:, None] + j[None, :] % wsafe
+    ty = y0[:, None] + j[None, :] // wsafe
+    valid = (j[None, :] < cnt[:, None]) & vis[:, None]
+    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+    keys = (tile_id << depth_bits) | dq[:, None]
+    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], keys.shape)
+    keys, ids = jax.lax.sort(
+        (keys.reshape(-1), ids.reshape(-1)), num_keys=1, is_stable=True
+    )
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
+    starts = jnp.searchsorted(keys, tids).astype(jnp.int32)
+    ends = jnp.searchsorted(keys, tids + (1 << depth_bits)).astype(jnp.int32)
+    raw = ends - starts
+    counts = jnp.minimum(raw, max_per_tile)
+    # respect the stream cap too
+    counts = jnp.minimum(counts, jnp.maximum(max_pairs - starts, 0))
+    spill = (
+        jnp.sum(raw - counts)
+        + jnp.sum(jnp.where(vis, jnp.maximum(cnt - m, 0), 0))
+    )
+    return PairBins(
+        pair_ids=ids[:max_pairs],
+        starts=starts,
+        counts=counts.astype(jnp.int32),
+        spill=spill.astype(jnp.int32),
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+    )

@@ -68,6 +68,46 @@ def render(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
+    if backend == "pallas_stream":
+        from dge_tpu.ops import pallas_composite
+
+        pb = binning.bin_gaussians_pairs(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(prep.depth),
+            jax.lax.stop_gradient(prep.radius),
+            prep.visible,
+            height=cam.height,
+            width=cam.width,
+            tile_px=tile_px,
+            max_per_tile=max_per_tile,
+        )
+        color, depth, final_t = pallas_composite.composite_pairs_pallas(
+            pb.pair_ids,
+            pb.starts,
+            pb.counts,
+            mean2d,
+            prep.conic,
+            prep.rgb,
+            prep.depth,
+            prep.opacity,
+            height=cam.height,
+            width=cam.width,
+            tiles_x=pb.tiles_x,
+            tiles_y=pb.tiles_y,
+            tile_px=tile_px,
+            bg=bg,
+            max_per_tile=max_per_tile,
+            chunk=max(chunk, 128),
+        )
+        return RenderOut(
+            color=color,
+            depth=depth,
+            alpha=1.0 - final_t,
+            radii=prep.radius,
+            visible=prep.visible,
+            spill=pb.spill,
+        )
+
     bins = binning.bin_gaussians(
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(prep.depth),

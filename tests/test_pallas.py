@@ -34,3 +34,19 @@ def test_pallas_empty_tiles(rng):
     ref = render.render(scene, cam, tile_px=16, max_per_tile=128, chunk=32)
     out = render.render(scene, cam, tile_px=16, max_per_tile=128, backend="pallas")
     assert np.allclose(out.color, ref.color, atol=3e-5)
+
+
+def test_pallas_stream_matches_jnp(rng):
+    """Pair-stream kernel parity with the jnp reference."""
+    scene = make_random_scene(rng, n=96)
+    _, cam = make_test_camera(height=32, width=32, angle=1.3)
+    bg = jnp.array([0.3, 0.0, 0.2])
+    ref = render.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=32)
+    out = render.render(
+        scene, cam, bg, tile_px=16, max_per_tile=128, backend="pallas_stream"
+    )
+    assert np.allclose(out.color, ref.color, atol=1e-4), (
+        np.abs(np.asarray(out.color) - np.asarray(ref.color)).max()
+    )
+    assert np.allclose(out.depth, ref.depth, atol=1e-3)
+    assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
