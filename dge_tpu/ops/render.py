@@ -179,6 +179,38 @@ def render(
     )
 
 
+def render_point_cloud(
+    points: jnp.ndarray,
+    colors: jnp.ndarray,
+    cam,
+    *,
+    point_size: float = 0.01,
+    opacity: float = 0.99,
+    bg: Optional[jnp.ndarray] = None,
+    **render_kw,
+) -> RenderOut:
+    """Render a raw colored point cloud as isotropic Gaussians
+    (point_cloud_render, gaussian_renderer/__init__.py:156-250)."""
+    import numpy as np
+
+    from dge_tpu.scene import gaussians as G
+
+    pts = np.asarray(points, np.float32)
+    n = len(pts)
+    rot = np.zeros((n, 4), np.float32)
+    rot[:, 0] = 1.0
+    scene = G.from_arrays(
+        pts,
+        G.rgb_to_sh(np.asarray(colors, np.float32)).reshape(n, 1, 3),
+        np.zeros((n, 0, 3), np.float32),
+        np.full((n, 1), np.log(opacity / (1 - opacity)), np.float32),
+        np.full((n, 3), np.log(point_size), np.float32),
+        rot,
+        max_sh_degree=0,
+    )
+    return render(scene, cam, bg, **render_kw)
+
+
 def render_weights(
     scene: GaussianScene,
     cam,

@@ -178,6 +178,30 @@ class Camera:
     def focal_y(self) -> float:
         return fov2focal(self.fovy, self.height)
 
+    @classmethod
+    def from_c2w(
+        cls,
+        c2w: np.ndarray,
+        fovy: float,
+        height: int,
+        width: int,
+        **kw,
+    ) -> "Camera":
+        """Build from a camera-to-world matrix (C2W_Camera/MiniCam analog,
+        scene/cameras.py:102-154); fovx derived aspect-preserving."""
+        c2w = np.asarray(c2w, np.float64)
+        w2c = np.linalg.inv(c2w)
+        fovx = focal2fov(fov2focal(fovy, height), width)
+        return cls(
+            R=w2c[:3, :3].T,
+            T=w2c[:3, 3],
+            fovx=fovx,
+            fovy=fovy,
+            height=height,
+            width=width,
+            **kw,
+        )
+
     def resized(self, height: int, width: int) -> "Camera":
         """Same pose/FoV at a different resolution (reference HW_scale,
         cameras.py:97-99)."""
