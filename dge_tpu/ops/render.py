@@ -68,6 +68,48 @@ def render(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
+    if backend == "pallas_train":
+        # differentiable fast path: Pallas forward AND backward for the
+        # compositing (custom_vjp); preprocess stays jnp-autodiff
+        from dge_tpu.ops import pallas_backward
+
+        pb = binning.bin_gaussians_pairs(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(prep.depth),
+            jax.lax.stop_gradient(prep.radius),
+            prep.visible,
+            height=cam.height,
+            width=cam.width,
+            tile_px=tile_px,
+            max_per_tile=max_per_tile,
+        )
+        color, depth, final_t = pallas_backward.stream_composite(
+            mean2d,
+            prep.conic,
+            prep.rgb,
+            prep.depth,
+            prep.opacity,
+            pb.pair_ids,
+            pb.starts,
+            pb.counts,
+            cam.height,
+            cam.width,
+            pb.tiles_x,
+            pb.tiles_y,
+            tile_px,
+            max_per_tile,
+            max(chunk, 128),
+        )
+        color = color + final_t[..., None] * bg[None, None, :]
+        return RenderOut(
+            color=color,
+            depth=depth,
+            alpha=1.0 - final_t,
+            radii=prep.radius,
+            visible=prep.visible,
+            spill=pb.spill,
+        )
+
     if backend == "pallas_stream":
         from dge_tpu.ops import pallas_composite
 
