@@ -217,12 +217,14 @@ def _pass2_kernel(
         d_b = jnp.sum(st["w"] * cot[2:3, :], axis=1)
         d_d = jnp.sum(st["w"] * cot[3:4, :], axis=1)
 
-        out = jnp.zeros((FEAT, chunk), jnp.float32)
-        out = out.at[_MX].set(d_mx).at[_MY].set(d_my)
-        out = out.at[_CA].set(d_ca).at[_CB].set(d_cb).at[_CC].set(d_cc)
-        out = out.at[_OP].set(dop)
-        out = out.at[_R].set(d_r).at[_G].set(d_g).at[_B].set(d_b)
-        out = out.at[_D].set(d_d)
+        zero = jnp.zeros((chunk,), jnp.float32)
+        # rows in _MX.._D order (= range(10)), padded to FEAT — built with
+        # stack, not .at[] (Mosaic has no in-kernel scatter)
+        out = jnp.stack(
+            [d_mx, d_my, d_ca, d_cb, d_cc, dop, d_r, d_g, d_b, d_d]
+            + [zero] * (FEAT - 10),
+            axis=0,
+        )
         grad_ref[0, 0] = out
 
 

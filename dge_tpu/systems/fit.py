@@ -45,6 +45,13 @@ class FitState:
         return cls(grad_accum=z, denom=z, max_radii2d=z, step=jnp.int32(0))
 
 
+def default_train_backend() -> str:
+    """pallas_train (custom-VJP kernels) on real TPU, jnp elsewhere."""
+    import jax
+
+    return "pallas_train" if jax.default_backend() in ("tpu", "axon") else "jnp"
+
+
 def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
@@ -55,6 +62,7 @@ def make_train_step(
     tile_px: int = 32,
     max_per_tile: int = 2048,
     chunk: int = 64,
+    backend: Optional[str] = None,
 ):
     """Build a jitted (scene, opt_state, fit_state, cam, target, bg) step.
 
@@ -62,6 +70,8 @@ def make_train_step(
     train.py:77-79] + lambda_perceptual * perceptual [DGE refit,
     DGE.py:637-683].
     """
+
+    backend = backend or default_train_backend()
 
     def loss_fn(params, scene, mean2d_offset, cam, target, bg):
         s = scene.with_params(params)
@@ -73,6 +83,7 @@ def make_train_step(
             max_per_tile=max_per_tile,
             mean2d_offset=mean2d_offset,
             chunk=chunk,
+            backend=backend,
         )
         img = out.color
         loss = lambda_l1 * L.l1_loss(img, target)
@@ -207,6 +218,7 @@ class FitLoop:
     lambda_l1: float = 1.0
     perceptual_fn: Optional[Callable] = None
     lambda_perceptual: float = 0.0
+    backend: Optional[str] = None  # None = auto (pallas_train on TPU)
 
     def __post_init__(self):
         self.optimizer = O.make_optimizer(self.cfg, self.spatial_lr_scale)
@@ -219,6 +231,7 @@ class FitLoop:
             tile_px=self.tile_px,
             max_per_tile=self.max_per_tile,
             chunk=self.chunk,
+            backend=self.backend,
         )
 
     def init(self, scene: GaussianScene):
