@@ -38,6 +38,7 @@ def make_sharded_train_step(
     tile_px: int = 32,
     max_per_tile: int = 2048,
     chunk: int = 64,
+    backend: str = "jnp",
 ):
     """Build a pjit-ed multi-view train step.
 
@@ -61,6 +62,7 @@ def make_sharded_train_step(
                 max_per_tile=max_per_tile,
                 mean2d_offset=off,
                 chunk=chunk,
+                backend=backend,
             )
             loss = lambda_l1 * L.l1_loss(out.color, target)
             if lambda_dssim:

@@ -220,7 +220,21 @@ class DGESystem:
         renders, originals = [], []
         bg = jnp.zeros(3)
         for vid in views_sorted:
-            renders.append(np.asarray(self._render_jit(self.scene, self.cameras[vid], bg)))
+            img = np.asarray(self._render_jit(self.scene, self.cameras[vid], bg))
+            if cfg.use_masked_image:
+                # restrict the guidance input to the editable region: render
+                # the per-Gaussian mask as color (override_color semantic
+                # render, DGE.forward :170-239 + use_masked_image :566-567)
+                mask_color = jnp.broadcast_to(
+                    self.scene.grad_mask[:, None], (self.scene.capacity, 3)
+                )
+                m = R.render(
+                    self.scene, self.cameras[vid], jnp.zeros(3),
+                    tile_px=cfg.tile_px, max_per_tile=cfg.max_per_tile,
+                    chunk=cfg.chunk, override_color=mask_color,
+                ).color
+                img = img * np.asarray(m[..., :1] > 0.5)
+            renders.append(img)
             originals.append(self.origin_frames[vid])
         rgb = jnp.asarray(np.stack(renders))
         cond = jnp.asarray(np.stack(originals))

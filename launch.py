@@ -64,6 +64,19 @@ def main(argv=None):
         import yaml
 
         yaml.safe_dump(cfg, f)
+    # command + code-revision snapshot (CodeSnapshotCallback /
+    # ConfigSnapshotCallback analog, threestudio/utils/callbacks.py:60-111)
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    with open(os.path.join(trial_dir, "cmd.txt"), "w") as f:
+        f.write(" ".join(sys.argv) + f"\ngit: {rev}\n")
     log.info("trial dir: %s", trial_dir)
 
     gs_source = args.gs_source or cfg.get("system", {}).get("gs_source")
