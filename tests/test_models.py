@@ -235,3 +235,17 @@ class TestCLIPVision:
         # identical images => image similarity ~1
         _, _, _, s_same = sim(imgs, imgs, ["a"] * 2, ["b"] * 2)
         assert np.allclose(s_same, 1.0, atol=1e-5)
+
+
+class TestBF16:
+    def test_unet_bf16_forward(self):
+        """bf16 UNet (the TPU production dtype for the edit round)."""
+        cfg = UNetConfig.tiny()
+        model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
+        x = jnp.zeros((3, 16, 16, 8), jnp.bfloat16)
+        t = jnp.array([100, 100, 100])
+        ctx = jnp.zeros((3, 7, cfg.cross_attention_dim), jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+        out = model.apply({"params": params}, x, t, ctx, mode="extended")
+        assert out.shape == (3, 16, 16, 4)
+        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
