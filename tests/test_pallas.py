@@ -97,3 +97,27 @@ class TestPallasTrainBackend:
             assert np.allclose(a, b, atol=2e-3 * scale + 1e-7), (
                 k, np.abs(a - b).max(), scale
             )
+
+
+def test_pallas_train_offset_grads_match(rng):
+    """Screen-space (densification) gradients through the custom VJP must
+    match the jnp path — these drive densify decisions on TPU."""
+    import jax
+
+    scene = make_random_scene(rng, n=32)
+    _, cam = make_test_camera(height=32, width=32)
+
+    def loss(offset, backend):
+        out = render.render(
+            scene, cam, tile_px=16, max_per_tile=64, chunk=32,
+            mean2d_offset=offset, backend=backend,
+        )
+        return jnp.sum(out.color ** 2)
+
+    z = jnp.zeros((scene.capacity, 2))
+    g_ref = jax.grad(lambda o: loss(o, "jnp"))(z)
+    g_new = jax.grad(lambda o: loss(o, "pallas_train"))(z)
+    scale = np.abs(np.asarray(g_ref)).max() + 1e-8
+    assert np.allclose(g_ref, g_new, atol=2e-3 * scale), (
+        np.abs(np.asarray(g_ref) - np.asarray(g_new)).max(), scale
+    )
