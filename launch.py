@@ -121,14 +121,22 @@ def run_render(cfg, gs_source, source, trial_dir):
 
     bg = jnp.zeros(3)
     render_jit = jax.jit(
-        lambda s, c: R.render(s, c, bg, tile_px=32, max_per_tile=4096).color
+        lambda s, c: R.render(s, c, bg, tile_px=32, max_per_tile=4096)
     )
     out_dir = os.path.join(trial_dir, "renders")
     frames = []
+    total_spill = 0
     for i, cam in enumerate(cams):
-        img = np.asarray(render_jit(scene, cam))
+        out = render_jit(scene, cam)
+        img = np.asarray(out.color)
+        total_spill += int(out.spill)
         saving.save_image(os.path.join(out_dir, f"{i:04d}.png"), img)
         frames.append(img)
+    if total_spill:
+        log.warning(
+            "binning dropped %d (tile, gaussian) pairs — raise max_per_tile "
+            "for exact renders", total_spill,
+        )
     saving.save_video(os.path.join(trial_dir, "renders.mp4"), frames)
     log.info("wrote %d renders to %s", len(frames), out_dir)
 
