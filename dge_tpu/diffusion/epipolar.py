@@ -93,6 +93,21 @@ def epipolar_distances(
     return num / jnp.maximum(den, 1e-12)
 
 
+def epipolar_lines(F: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """[S2, 3] *normalized* epipolar-line coefficients in cam1's pixel space,
+    one line per cam2 pixel: ``violation(s2, s1) = |lines[s2] . pts[s1]| >
+    threshold`` with ``pts`` the homogeneous cam1 pixel grid.
+
+    This is the banded/on-the-fly form of the constraint (SURVEY.md §7 hard
+    part 5): 3 floats per query pixel instead of S booleans, so the S x S
+    mask never materializes — attention kernels evaluate the distance test
+    blockwise over key-token tiles."""
+    pts = _pixel_grid(height, width)
+    lines = pts @ F  # [S2, 3]
+    den = jnp.linalg.norm(lines[:, :2], axis=1, keepdims=True)
+    return lines / jnp.maximum(den, 1e-12)
+
+
 def violation_mask(
     cam1, cam2, height: int, width: int, threshold: float = 1.0
 ) -> jnp.ndarray:

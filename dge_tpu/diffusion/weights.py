@@ -131,6 +131,11 @@ def convert_vae(state_dict: Dict[str, Any]) -> Dict:
 def convert_clip_text(state_dict: Dict[str, Any]) -> Dict:
     sd = {}
     for k, v in state_dict.items():
+        if k == "text_projection.weight":
+            # CLIPTextModelWithProjection head (the metrics CLIP); lives
+            # outside the text_model.* prefix
+            sd["text_projection.weight"] = v
+            continue
         if not k.startswith("text_model."):
             continue
         k2 = k[len("text_model."):]

@@ -26,6 +26,10 @@ class CLIPTextConfig:
     num_heads: int = 12
     max_length: int = 77
     intermediate_size: int = 3072
+    # set to enable the text_projection head (transformers
+    # CLIPTextModelWithProjection; the metrics CLIP ViT-L/14 uses 768). The
+    # SD-1.5 text encoder checkpoint has no projection — leave None there.
+    projection_dim: Optional[int] = None
 
     @classmethod
     def tiny(cls) -> "CLIPTextConfig":
@@ -87,8 +91,15 @@ class CLIPTextModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        """input_ids [B, S] -> last hidden state [B, S, D]."""
+    def __call__(self, input_ids: jnp.ndarray, return_pooled: bool = False):
+        """input_ids [B, S] -> last hidden state [B, S, D].
+
+        With ``return_pooled=True`` also returns the projected pooled
+        embedding [B, projection_dim]: the final-layer-norm hidden state at
+        the eos token (argmax of ids — eos is the largest CLIP token id)
+        passed through ``text_projection`` (transformers
+        CLIPTextModelWithProjection semantics; the reference's edit metric
+        uses these via clip.encode_text, clip_metrics.py:20-24)."""
         cfg = self.config
         b, s = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
@@ -102,5 +113,18 @@ class CLIPTextModel(nn.Module):
         causal = jnp.tril(jnp.ones((s, s), bool))
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x, causal)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                            name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="final_layer_norm")(x)
+        if not return_pooled:
+            return x
+        if cfg.projection_dim is None:
+            raise ValueError(
+                "return_pooled=True requires CLIPTextConfig.projection_dim"
+            )
+        eos = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(b), eos]
+        proj = nn.Dense(
+            cfg.projection_dim, use_bias=False, dtype=self.dtype,
+            name="text_projection",
+        )(pooled)
+        return x, proj

@@ -104,10 +104,18 @@ class ClipSimilarity:
     images with the vision tower + texts with the text tower, computes
     cosine and directional similarities."""
 
-    def __init__(self, vision_model, vision_params, encode_text_fn, tokenizer):
+    def __init__(
+        self, vision_model, vision_params, encode_text_fn, tokenizer,
+        text_pooled_fn=None,
+    ):
         self.vision = vision_model
         self.vparams = vision_params
         self.encode_text = encode_text_fn  # ids -> [B, S, D] hidden states
+        # ids -> [B, projection_dim] projected pooled embeddings (CLIP
+        # text_projection; required for scores comparable to the reference's
+        # clip.encode_text, clip_metrics.py:20-24). Without it text_features
+        # falls back to raw eos hidden states (structural-only scores).
+        self.text_pooled = text_pooled_fn
         self.tokenizer = tokenizer
         self._embed = jax.jit(
             lambda p, x: self.vision.apply({"params": p}, x)
@@ -127,10 +135,15 @@ class ClipSimilarity:
 
     def text_features(self, texts) -> np.ndarray:
         ids = self.tokenizer(texts)
-        h = np.asarray(self.encode_text(jnp.asarray(ids)))
-        # pooled = eos-token hidden state (argmax id = eos)
-        eos = ids.argmax(axis=-1)
-        f = h[np.arange(len(ids)), eos]
+        if self.text_pooled is not None:
+            f = np.asarray(self.text_pooled(jnp.asarray(ids)))
+        else:
+            h = np.asarray(self.encode_text(jnp.asarray(ids)))
+            # fallback: eos-token hidden state (argmax id = eos) — NOT the
+            # CLIP embedding space; prefer text_pooled_fn with a converted
+            # text_projection
+            eos = ids.argmax(axis=-1)
+            f = h[np.arange(len(ids)), eos]
         return f / np.linalg.norm(f, axis=-1, keepdims=True)
 
     def __call__(self, img_src, img_edit, text_src, text_edit):

@@ -43,11 +43,27 @@ class CrossViewState:
     # (make_dge_block, dge_utils.py:557-566); 1.0 when n_key == 1
     blend_w1: Optional[jnp.ndarray] = None
     # dict seq_len -> bool [F, n_key, S, S] epipolar *violation* masks,
-    # already gathered per closest cam, pivot frame rows cleared
+    # already gathered per closest cam, pivot frame rows cleared. Dense
+    # oracle path — O(S^2) memory, only for small latents/tests.
     epipolar: Optional[Dict[int, jnp.ndarray]] = struct.field(
         pytree_node=True, default=None
     )
+    # banded form (SURVEY.md §7 hard part 5): seq_len -> f32 [F, n_key, S, 3]
+    # normalized epipolar-line coefficients per *query* token in the key
+    # image's pixel space (pivot frame rows zeroed -> distance 0 -> never
+    # violating), evaluated blockwise on the fly inside pivot_reuse. 3 floats
+    # per pair-set row instead of S booleans; nothing S x S materializes.
+    epi_lines: Optional[Dict[int, jnp.ndarray]] = struct.field(
+        pytree_node=True, default=None
+    )
+    # seq_len -> f32 [S, 3] homogeneous key-token pixel coords (raster order)
+    epi_pts: Optional[Dict[int, jnp.ndarray]] = struct.field(
+        pytree_node=True, default=None
+    )
     n_key: int = struct.field(pytree_node=False, default=1)
+    # violation threshold in pixels (compute_epipolar_constrains' 1px,
+    # dge_utils.py:154-187); static — baked into the jitted kernel
+    epi_threshold: float = struct.field(pytree_node=False, default=1.0)
 
 
 def timestep_embedding(
@@ -148,6 +164,77 @@ class GEGLUFeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
+def epi_blockwise_argmax(
+    img: jnp.ndarray,  # [F, S, D] normalized query tokens (image CFG chunk)
+    piv_img: jnp.ndarray,  # [F, K, S, D] normalized pivot tokens
+    lines: jnp.ndarray,  # [F, K, S, 3] normalized epipolar lines per query
+    pts: jnp.ndarray,  # [S, 3] homogeneous key-token pixel coords
+    threshold: float,
+    block: int = 512,
+) -> jnp.ndarray:
+    """Epipolar-masked cosine-argmax over pivot tokens without materializing
+    any [S, S] array: scans key-token blocks, evaluating the line-distance
+    test on the fly (the banded replacement for the reference's dense
+    compute_epipolar_constrains masks, dge_utils.py:154-187 + 444-493).
+
+    Reference zeroing semantics are preserved exactly: violating pairs
+    contribute similarity 0 (not -inf), and query rows whose *every* pivot
+    token violates are exempted from the mask (dge_utils.py:489-493).
+    Returns int32 [F, K, S] argmax indices."""
+    f, k, s, d = piv_img.shape
+    block = min(block, s)
+    nb = -(-s // block)
+    pad = nb * block - s
+    if pad:
+        piv_img = jnp.pad(piv_img, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+
+    neg_inf = jnp.float32(-jnp.inf)
+    init = (
+        jnp.full((f, k, s), neg_inf),  # best masked value
+        jnp.zeros((f, k, s), jnp.int32),  # best masked index
+        jnp.full((f, k, s), neg_inf),  # best raw value
+        jnp.zeros((f, k, s), jnp.int32),  # best raw index
+        jnp.ones((f, k, s), bool),  # all pivot tokens violating so far
+    )
+
+    def body(i, carry):
+        bm_val, bm_idx, br_val, br_idx, all_bad = carry
+        off = i * block
+        blk = jax.lax.dynamic_slice_in_dim(piv_img, off, block, axis=2)
+        pts_b = jax.lax.dynamic_slice_in_dim(pts, off, block, axis=0)
+        sim = jnp.einsum(
+            "fsd,fktd->fkst", img, blk, preferred_element_type=jnp.float32
+        )  # [F, K, S, B]
+        dist = jnp.abs(jnp.einsum("fksc,tc->fkst", lines, pts_b))
+        pad_tok = (off + jnp.arange(block)) >= s  # [B]
+        viol = (dist > threshold) | pad_tok
+        sim_raw = jnp.where(pad_tok, neg_inf, sim)
+        sim_m = jnp.where(viol, 0.0, sim)
+        sim_m = jnp.where(pad_tok, neg_inf, sim_m)
+
+        def upd(best_val, best_idx, vals):
+            v = jnp.max(vals, axis=-1)
+            ix = jnp.argmax(vals, axis=-1).astype(jnp.int32) + off
+            better = v > best_val
+            return (
+                jnp.where(better, v, best_val),
+                jnp.where(better, ix, best_idx),
+            )
+
+        bm_val, bm_idx = upd(bm_val, bm_idx, sim_m)
+        br_val, br_idx = upd(br_val, br_idx, sim_raw)
+        all_bad = all_bad & jnp.all(viol, axis=-1)
+        return bm_val, bm_idx, br_val, br_idx, all_bad
+
+    bm_val, bm_idx, br_val, br_idx, all_bad = jax.lax.fori_loop(
+        0, nb, body, init
+    )
+    # rows where every real pivot token violates fall back to the unmasked
+    # argmax (the reference's all-violating-row exemption)
+    return jnp.where(all_bad, br_idx, bm_idx)
+
+
 class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
@@ -223,18 +310,25 @@ class BasicTransformerBlock(nn.Module):
         img = img / (jnp.linalg.norm(img, axis=-1, keepdims=True) + 1e-6)
         piv_img = piv_h[1][closest]  # [F, n_key, S, D]
         piv_img = piv_img / (jnp.linalg.norm(piv_img, axis=-1, keepdims=True) + 1e-6)
-        sim = jnp.einsum(
-            "fsd,fktd->fkst", img, piv_img, preferred_element_type=jnp.float32
-        )  # [F, n_key, S, S]
 
-        if cv.epipolar is not None and s in cv.epipolar:
-            violation = cv.epipolar[s]  # [F, n_key, S, S] bool
-            # rows where every pivot token violates are exempted
-            all_bad = jnp.all(violation, axis=-1, keepdims=True)
-            violation = violation & ~all_bad
-            sim = jnp.where(violation, 0.0, sim)
-
-        idx = jnp.argmax(sim, axis=-1)  # [F, n_key, S]
+        if cv.epi_lines is not None and s in cv.epi_lines:
+            # banded path: no [S, S] array ever materializes
+            idx = epi_blockwise_argmax(
+                img, piv_img, cv.epi_lines[s], cv.epi_pts[s],
+                cv.epi_threshold,
+            )
+        else:
+            sim = jnp.einsum(
+                "fsd,fktd->fkst", img, piv_img,
+                preferred_element_type=jnp.float32,
+            )  # [F, n_key, S, S]
+            if cv.epipolar is not None and s in cv.epipolar:
+                violation = cv.epipolar[s]  # [F, n_key, S, S] bool
+                # rows where every pivot token violates are exempted
+                all_bad = jnp.all(violation, axis=-1, keepdims=True)
+                violation = violation & ~all_bad
+                sim = jnp.where(violation, 0.0, sim)
+            idx = jnp.argmax(sim, axis=-1)  # [F, n_key, S]
         # gather pivot attn output at matched tokens for all 3 CFG chunks
         piv_sel = piv_attn[:, closest]  # [3, F, n_key, S, D]
         gathered = jnp.take_along_axis(

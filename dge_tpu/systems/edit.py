@@ -56,6 +56,14 @@ class EditConfig:
     seg_prompt: str = ""
     mask_thres: float = 0.8
     use_masked_image: bool = False
+    # SDS mode (DGE.py:685-694): per-step score-distillation through the
+    # multi-view pivot/epipolar guidance instead of edit-frame refitting
+    use_sds: bool = False
+    lambda_sds: float = 1.0
+    # edit-cache behavior (DGE.py:96-99,104-165,241-264,537-556): cached
+    # original renders / edited frames / gaussian masks are reloaded when
+    # present unless overwrite is set
+    cache_overwrite: bool = False
     # LR scalers (DGE.py:500-515 -> OptimizationParams ctor)
     gs_lr_scaler: float = 3.0
     gs_final_lr_scaler: float = 3.0
@@ -128,6 +136,8 @@ class DGESystem:
         self.origin_frames: Dict[int, np.ndarray] = {}
         self.edit_frames: Dict[int, np.ndarray] = {}
         self.view_list = list(range(len(self.cameras)))
+        self.total_spill = 0
+        self._jit_cache: Dict = {}
         self._render_jit = jax.jit(
             lambda s, c, bg: R.render(
                 s, c, bg, tile_px=cfg.tile_px, max_per_tile=cfg.max_per_tile,
@@ -135,12 +145,33 @@ class DGESystem:
             ).color
         )
 
+    # ---- edit cache helpers (DGE.py:96-99: reload unless overwrite) ----
+    def _cache_load_frames(self, subdir: str) -> Optional[Dict[int, np.ndarray]]:
+        """Load a complete cached frame set for the current view list, or
+        None if missing/incomplete/overwritten."""
+        if not self.cache_dir or self.cfg.cache_overwrite:
+            return None
+        frames = {}
+        for vid in self.view_list:
+            p = os.path.join(self.cache_dir, subdir, f"{vid:04d}.png")
+            if not os.path.exists(p):
+                return None
+            frames[vid] = np.asarray(saving.load_image(p), np.float32)
+        return frames
+
     # ---- stage 0: cache original renders (render_all_view, DGE.py:241-264)
     def render_all_views(self, bg=None) -> Dict[int, np.ndarray]:
+        cached = self._cache_load_frames("origin")
+        if cached is not None:
+            self.origin_frames = cached
+            return self.origin_frames
         bg = jnp.zeros(3) if bg is None else bg
         for vid in self.view_list:
             img = self._render_jit(self.scene, self.cameras[vid], bg)
-            self.origin_frames[vid] = np.asarray(img)
+            # store at png (u8) precision so cache-hit and cache-miss runs
+            # are bit-identical (the reference also round-trips through
+            # PNGs, DGE.py:256-264)
+            self.origin_frames[vid] = _quantize_u8(np.asarray(img))
             if self.cache_dir:
                 saving.save_image(
                     os.path.join(self.cache_dir, "origin", f"{vid:04d}.png"),
@@ -151,9 +182,20 @@ class DGESystem:
     # ---- local editing mask (update_mask, DGE.py:101-165) ----
     def update_mask(self) -> None:
         """Segment each original view, lift masks to per-Gaussian weights via
-        the apply_weights path, threshold, install the grad mask."""
+        the apply_weights path, threshold, install the grad mask. The
+        thresholded per-Gaussian mask is cached (gs_mask.pt analog,
+        DGE.py:104-120)."""
         if not self.cfg.seg_prompt or self.segmentor is None:
             return
+        if self.cache_dir and not self.cfg.cache_overwrite:
+            p = os.path.join(self.cache_dir, "gs_mask.npy")
+            if os.path.exists(p):
+                gmask = np.load(p)
+                if gmask.shape[0] == self.scene.capacity:
+                    self.scene = self.scene.replace(
+                        grad_mask=jnp.asarray(gmask, jnp.float32)
+                    )
+                    return
         cap = self.scene.capacity
         weights = jnp.zeros((cap,))
         counts = jnp.zeros((cap,))
@@ -177,6 +219,12 @@ class DGESystem:
         frac = jnp.where(counts > 0, weights / jnp.maximum(counts, 1.0), 0.0)
         gmask = (frac > self.cfg.mask_thres) & self.scene.alive
         self.scene = self.scene.replace(grad_mask=gmask.astype(jnp.float32))
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            np.save(
+                os.path.join(self.cache_dir, "gs_mask.npy"),
+                np.asarray(self.scene.grad_mask),
+            )
 
     def resample_views(self, seed: int) -> None:
         """Re-draw the working view subset from the full camera pool
@@ -203,6 +251,11 @@ class DGESystem:
         if update_camera:
             self.resample_views(global_step + 1)
 
+        cached = self._cache_load_frames(f"edit_{global_step}")
+        if cached is not None:
+            self.edit_frames.update(cached)
+            return
+
         cfg = self.cfg
         sched = list(cfg.added_noise_schedule)
         round_idx = min(
@@ -214,7 +267,12 @@ class DGESystem:
         centers = np.stack(
             [np.asarray(self.cameras[v].campos) for v in self.view_list]
         )
-        order = _ring_order(centers)
+        # forward (view direction in world) = third row of the w2c rotation
+        # = c2w R[:, 2], the reference's cam.R[:, 2]
+        forwards = np.stack(
+            [np.asarray(self.cameras[v].w2c)[2, :3] for v in self.view_list]
+        )
+        order = _ring_order(centers, forwards)
         views_sorted = [self.view_list[i] for i in order]
 
         renders, originals = [], []
@@ -246,7 +304,7 @@ class DGESystem:
         edited = self.guidance(
             rgb, cond, pos, neg, cams_sorted, rng, max_step=max_step
         )
-        edited = np.asarray(edited)
+        edited = _quantize_u8(np.asarray(edited))
         for i, vid in enumerate(views_sorted):
             self.edit_frames[vid] = edited[i]
             if self.cache_dir:
@@ -270,33 +328,330 @@ class DGESystem:
         )
         return {k: float(v) for k, v in aux.items()}
 
+    # ---- SDS mode (use_sds branch, DGE.py:685-694) ----
+    def _sds_fit_fn(self, rh: int, rw: int):
+        """Jitted SDS refit step: differentiate
+        lambda_sds * 0.5 ||encode(render(params)) - target||^2 / B through
+        the rasterizer and VAE encoder, with the usual masked update and
+        densification stats."""
+        key = ("sds_fit", rh, rw)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        import optax
+
+        from dge_tpu.diffusion import ip2p as P
+        from dge_tpu.parallel.mesh import index_cameras
+        from dge_tpu.systems import optim as O
+
+        cfg = self.cfg
+        models = self.guidance.models
+        optimizer = self.loop.optimizer
+        backend = self.loop.backend or F.default_train_backend()
+        cbs = cfg.camera_batch_size
+
+        @jax.jit
+        def sds_fit(scene, opt_state, fit_state, cams_b, target, r_enc, bg):
+            params = scene.params()
+            offset = jnp.zeros((scene.capacity, 2), jnp.float32)
+
+            def loss_fn(params, offset):
+                s = scene.with_params(params)
+                outs = [
+                    R.render(
+                        s, index_cameras(cams_b, i), bg, tile_px=cfg.tile_px,
+                        max_per_tile=cfg.max_per_tile, mean2d_offset=offset,
+                        chunk=cfg.chunk, backend=backend,
+                    )
+                    for i in range(cbs)
+                ]
+                rgb = jnp.stack([o.color for o in outs])
+                b, h, w = rgb.shape[:3]
+                if (rh, rw) != (h, w):
+                    rgb = jax.image.resize(rgb, (b, rh, rw, 3), "bilinear")
+                lat = P.encode_images(models, rgb, r_enc)
+                loss = cfg.lambda_sds * 0.5 * jnp.sum((lat - target) ** 2) / cbs
+                vis = jnp.any(jnp.stack([o.visible for o in outs]), axis=0)
+                radii = jnp.max(jnp.stack([o.radii for o in outs]), axis=0)
+                spill = sum(o.spill for o in outs)
+                return loss, (vis, radii, spill)
+
+            (loss, (vis, radii, spill)), (gparams, goffset) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, offset
+                )
+            )
+            gparams = O.apply_grad_mask(gparams, scene.grad_mask, scene.alive)
+            updates, opt_state = optimizer.update(gparams, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            scene = scene.with_params(params)
+            g_ndc = jnp.stack(
+                [
+                    goffset[:, 0] * (cams_b.width * 0.5),
+                    goffset[:, 1] * (cams_b.height * 0.5),
+                ],
+                axis=-1,
+            )
+            gnorm = jnp.linalg.norm(g_ndc, axis=-1)
+            fit_state = fit_state.replace(
+                grad_accum=fit_state.grad_accum + jnp.where(vis, gnorm, 0.0),
+                denom=fit_state.denom + vis.astype(jnp.float32),
+                max_radii2d=jnp.maximum(
+                    fit_state.max_radii2d, jnp.where(vis, radii, 0.0)
+                ),
+                step=fit_state.step + 1,
+            )
+            return scene, opt_state, fit_state, {"loss": loss, "spill": spill}
+
+        self._jit_cache[key] = sds_fit
+        return sds_fit
+
+    def sds_step(self, rng: jax.Array) -> Dict[str, float]:
+        """One SDS optimization step over a random camera batch: multi-view
+        pivot/epipolar eps prediction -> target latents -> jitted refit."""
+        from dge_tpu.diffusion import ddim
+        from dge_tpu.diffusion import ip2p as P
+        from dge_tpu.parallel.mesh import stack_cameras
+
+        cfg = self.cfg
+        g = self.guidance
+        models = g.models
+        cbs = min(cfg.camera_batch_size, len(self.view_list))
+        rng, r_vids, r_enc, r_noise, r_t, r_piv = jax.random.split(rng, 6)
+        vids = np.asarray(
+            jax.random.choice(
+                r_vids, len(self.view_list), (cbs,), replace=False
+            )
+        )
+        vids = [self.view_list[int(i)] for i in vids]
+        cams_b = stack_cameras([self.cameras[v] for v in vids])
+        bg = jnp.zeros(3)
+        rgb0 = jnp.stack(
+            [self._render_jit(self.scene, self.cameras[v], bg) for v in vids]
+        )
+        cond0 = jnp.stack([jnp.asarray(self.origin_frames[v]) for v in vids])
+        b, h, w = rgb0.shape[:3]
+        rh, rw = P.resize_to_64_multiple(h, w, g.cfg.resize_target)
+        if (rh, rw) != (h, w):
+            rgb0 = jax.image.resize(rgb0, (b, rh, rw, 3), "bilinear")
+            cond0 = jax.image.resize(cond0, (b, rh, rw, 3), "bilinear")
+        latents0 = P.encode_images(models, rgb0, r_enc)
+        cond_lat = P.encode_cond_images(models, cond0)
+        cond_img, _, cond_zero = jnp.split(cond_lat, 3, axis=0)
+        pos = jnp.broadcast_to(
+            self.text_emb_pos, (b,) + self.text_emb_pos.shape[-2:]
+        )
+        neg = jnp.broadcast_to(
+            self.text_emb_neg, (b,) + self.text_emb_neg.shape[-2:]
+        )
+
+        def triple_for(idx):
+            te = jnp.concatenate([pos[idx], neg[idx], neg[idx]], 0)
+            cl = jnp.concatenate(
+                [cond_img[idx], cond_img[idx], cond_zero[idx]], 0
+            )
+            return te, cl
+
+        t = int(jax.random.randint(r_t, (), g.min_step, g.max_step + 1))
+        noise = jax.random.normal(r_noise, latents0.shape, latents0.dtype)
+        noisy = ddim.add_noise(
+            models.schedule, latents0, noise, jnp.full((b,), t)
+        )
+        eps = g._predict_eps_multiview(
+            noisy, t, cams_b, triple_for, b, b, 1,
+            latents0.shape[1], latents0.shape[2], r_piv,
+        )
+        w_t = 1.0 - models.schedule.alphas_cumprod[t]
+        grad = jnp.nan_to_num(w_t * (eps - noise))
+        target = latents0 - grad
+
+        fit = self._sds_fit_fn(rh, rw)
+        self.scene, self.opt_state, self.fit_state, aux = fit(
+            self.scene, self.opt_state, self.fit_state, cams_b, target,
+            r_enc, bg,
+        )
+        rng, r_d = jax.random.split(rng)
+        self.scene, self.opt_state, self.fit_state, _ = self.loop.maybe_densify(
+            self.scene, self.opt_state, self.fit_state, r_d
+        )
+        return {k: float(v) for k, v in aux.items()}
+
+    # ---- checkpoint / resume (capture()/restore() + Lightning ckpt
+    # analogs, gaussian_model.py:110-204, launch.py:189-211) ----
+    def save_state(self, path: str, step: int) -> str:
+        from dge_tpu.utils import checkpoint as CK
+
+        return CK.save_checkpoint(
+            path, self.scene, self.opt_state, self.fit_state,
+            extra={"step": step, "capacity": int(self.scene.capacity),
+                   "max_per_tile": self.cfg.max_per_tile},
+        )
+
+    def restore_state(self, path: str) -> int:
+        """Restore scene/optimizer/fit state; returns the step to resume
+        from. Handles capacity growth between save and template."""
+        import json
+
+        from dge_tpu.systems import densify as D
+        from dge_tpu.utils import checkpoint as CK
+
+        meta_path = os.path.abspath(path) + "_meta.json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        cap = int(meta.get("capacity", self.scene.capacity))
+        if cap != self.scene.capacity:
+            old_cap = self.scene.capacity
+            self.scene = D.grow_capacity(self.scene, cap)
+            self.opt_state = F._pad_opt_state(self.opt_state, old_cap, cap)
+            self.fit_state = F.FitState.create(cap).replace(
+                step=self.fit_state.step
+            )
+        if int(meta.get("max_per_tile", self.cfg.max_per_tile)) != \
+                self.cfg.max_per_tile:
+            self.cfg.max_per_tile = int(meta["max_per_tile"])
+            self.loop.max_per_tile = self.cfg.max_per_tile
+            self.loop.__post_init__()
+            self._jit_cache.clear()
+        self.scene, self.opt_state, self.fit_state, meta = (
+            CK.restore_checkpoint(
+                path, self.scene, self.opt_state, self.fit_state
+            )
+        )
+        return int(meta.get("step", 0))
+
+    # ---- in-training validation (DGE.py:298-361 val grids + mp4) ----
+    def validate(self, val_dir: str, step: int) -> None:
+        bg = jnp.zeros(3)
+        # side-by-side (render | edit target) only when every view has one,
+        # so the grid tiles stay uniform
+        with_targets = all(v in self.edit_frames for v in self.view_list)
+        renders, pairs = [], []
+        for vid in self.view_list:
+            img = np.asarray(
+                self._render_jit(self.scene, self.cameras[vid], bg)
+            )
+            renders.append(img)
+            pairs.append(
+                np.concatenate([img, self.edit_frames[vid]], axis=1)
+                if with_targets else img
+            )
+        saving.save_image_grid(
+            os.path.join(val_dir, f"it{step}-val.png"), pairs, cols=4
+        )
+        saving.save_video(
+            os.path.join(val_dir, f"it{step}-val.mp4"), renders, fps=10
+        )
+
     # ---- full edit loop ----
     def run(self, rng: jax.Array, steps: Optional[int] = None, log_every=50,
-            log_fn=print):
+            log_fn=print, start_step: int = 0, ckpt_dir: Optional[str] = None,
+            val_dir: Optional[str] = None):
         cfg = self.cfg
         steps = steps or cfg.max_steps
         if not self.origin_frames:
             self.render_all_views()
         self.update_mask()
-        view_rng = np.random.default_rng(0)
-        for step in range(steps):
-            if step % cfg.camera_update_per_step == 0:
-                rng, r_edit = jax.random.split(rng)
-                # re-draw the view subset after the first round (DGE.py:528)
-                self.edit_all_views(
-                    r_edit, global_step=step, update_camera=step > 0
+        spill_streak = 0
+        # all per-step randomness is derived by fold_in(key, step) so a
+        # resumed run replays the exact uninterrupted stream
+        for step in range(start_step, steps):
+            r_fit = jax.random.fold_in(rng, step)
+            if cfg.use_sds:
+                aux = self.sds_step(r_fit)
+            else:
+                # re-edit every round boundary, or immediately after a
+                # mid-round resume (edit frames are not checkpointed)
+                if step % cfg.camera_update_per_step == 0 or not self.edit_frames:
+                    round_start = (
+                        step // cfg.camera_update_per_step
+                    ) * cfg.camera_update_per_step
+                    r_edit = jax.random.fold_in(rng, 1_000_000 + round_start)
+                    # re-draw the view subset after the first round
+                    # (DGE.py:528)
+                    self.edit_all_views(
+                        r_edit, global_step=round_start,
+                        update_camera=round_start > 0,
+                    )
+                    if val_dir:
+                        self.validate(val_dir, step)
+                    if ckpt_dir:
+                        self.save_state(
+                            os.path.join(ckpt_dir, f"step_{step}"), step
+                        )
+                vid = self.view_list[
+                    np.random.default_rng((7, step)).integers(
+                        len(self.view_list)
+                    )
+                ]
+                aux = self.fit_step(vid, r_fit)
+            # react to binning spill: persistent drops mean max_per_tile is
+            # too small for the scene — grow it (re-jit) instead of silently
+            # rendering/fitting against truncated tile lists
+            spill = int(aux.get("spill", 0))
+            self.total_spill += spill
+            spill_streak = spill_streak + 1 if spill > 0 else 0
+            if spill_streak >= 3 and cfg.max_per_tile < 16384:
+                cfg.max_per_tile *= 2
+                self.loop.max_per_tile = cfg.max_per_tile
+                self.loop.__post_init__()  # rebuild the jitted train step
+                self._jit_cache.clear()
+                self._render_jit = jax.jit(
+                    lambda s, c, bg: R.render(
+                        s, c, bg, tile_px=cfg.tile_px,
+                        max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
+                    ).color
                 )
-            vid = self.view_list[view_rng.integers(len(self.view_list))]
-            rng, r_fit = jax.random.split(rng)
-            aux = self.fit_step(vid, r_fit)
-            if step % log_every == 0:
                 log_fn(
-                    f"step {step}: loss={aux['loss']:.4f} psnr={aux['psnr']:.2f}"
+                    f"step {step}: binning spill persisted — growing "
+                    f"max_per_tile to {cfg.max_per_tile}"
                 )
+                spill_streak = 0
+            if step % log_every == 0:
+                psnr = f" psnr={aux['psnr']:.2f}" if "psnr" in aux else ""
+                log_fn(f"step {step}: loss={aux['loss']:.4f}{psnr}")
+        if self.total_spill:
+            log_fn(
+                f"total binning spill over run: {self.total_spill} pairs"
+            )
+        if ckpt_dir:
+            self.save_state(os.path.join(ckpt_dir, "last"), steps)
+        if val_dir:
+            self.validate(val_dir, steps)
         return self.scene
 
 
-def _ring_order(centers: np.ndarray) -> List[int]:
+def _quantize_u8(img: np.ndarray) -> np.ndarray:
+    """Round to u8 precision (the edit cache's PNG format) so cached and
+    fresh frames are bit-identical."""
+    u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return u8.astype(np.float32) / 255.0
+
+
+def _ring_order(
+    centers: np.ndarray, forwards: Optional[np.ndarray] = None
+) -> List[int]:
+    """Reference-exact camera ring ordering (sort_the_cameras_idx,
+    DGE.py:588-600): signed angle of each camera's forward vector from the
+    leftmost (min world-x center) camera's forward vector, with the rotation
+    sign fixed by the second-closest camera. Falls back to an SVD-plane
+    angle sort when forward vectors are unavailable or degenerate."""
+    if forwards is not None and len(centers) >= 3:
+        f = np.asarray(forwards, np.float64)
+        norms = np.linalg.norm(f, axis=1, keepdims=True)
+        if np.all(norms > 1e-12):
+            f = f / norms
+            mlv = f[int(np.argmin(centers[:, 0]))]
+            # unsigned angular distance picks the second-nearest forward
+            # vector that defines the rotation axis (DGE.py:593-595)
+            d0 = np.arccos(np.clip(f @ mlv, 0.0, 1.0))
+            second = f[np.argsort(d0, kind="stable")[1]]
+            ref_axis = np.cross(mlv, second)
+            if np.linalg.norm(ref_axis) > 1e-9:
+                ang = np.arccos(np.clip(f @ mlv, -1.0, 1.0))
+                sign = np.cross(np.broadcast_to(mlv, f.shape), f) @ ref_axis
+                signed = np.where(sign >= 0, ang, 2.0 * np.pi - ang)
+                return list(np.argsort(signed, kind="stable"))
     rel = centers - centers.mean(axis=0, keepdims=True)
     _, _, vt = np.linalg.svd(rel, full_matrices=False)
     uv = rel @ vt[:2].T

@@ -45,6 +45,11 @@ class GuidanceConfig:
     max_step_percent: float = 0.98
     normal_attn_below_t: int = 100
     epipolar_threshold: float = 1.0
+    # "banded": 3 line coefficients per query token, distance test evaluated
+    # blockwise inside the pivot-reuse gather — nothing S x S materializes,
+    # so 64x64 latents (S=4096) fit on one chip. "dense": the reference's
+    # full [S, S] violation masks (oracle for tests at small S).
+    epipolar_mode: str = "banded"
     # long-side target of the pre-VAE resize (dge_guidance.py:505-511 uses
     # 512); tests lower it to keep latent sizes sane with tiny VAEs
     resize_target: int = 512
@@ -71,7 +76,8 @@ def _gather_cams(cams, idx):
 
 
 @partial(
-    jax.jit, static_argnames=("latent_h", "latent_w", "n_key", "threshold")
+    jax.jit,
+    static_argnames=("latent_h", "latent_w", "n_key", "threshold", "mode"),
 )
 def make_cross_view_state(
     cams_b,
@@ -81,14 +87,23 @@ def make_cross_view_state(
     latent_w: int,
     n_key: int,
     threshold: float = 1.0,
+    mode: str = "banded",
 ) -> CrossViewState:
     """Closest key cams, distance blend, and per-resolution epipolar
-    violation masks for one camera batch.
+    constraints for one camera batch.
 
     Mirrors the per-block state of make_dge_block (closest_cam search
     :407-424, w1 blend :557-566) and the per-batch mask precompute of
     edit_latents (:329-342), with the pivot frame's rows cleared
-    (:493-496)."""
+    (:493-496).
+
+    mode="banded" (production): stores normalized epipolar-line
+    coefficients [F, n_key, S, 3] per resolution; the distance>threshold
+    test runs blockwise inside the attention gather (layers.
+    epi_blockwise_argmax) so no [S, S] mask is ever built — at the real
+    64x64 latent (S=4096) the dense form is 168M bools per resolution and
+    OOMs, the banded form is 0.5 MB. mode="dense": the reference-shaped
+    [F, n_key, S, S] masks (test oracle)."""
     d = epipolar.camera_distances(cams_b.campos, key_cams.campos)  # [F, K]
     closest = jnp.argsort(d, axis=-1)[:, :n_key]  # [F, n_key]
     dsort = jnp.sort(d, axis=-1)
@@ -100,15 +115,13 @@ def make_cross_view_state(
     f = d.shape[0]
     key_sel = _gather_cams(key_cams, closest.reshape(-1))  # [F*n_key]
     masks: Dict[int, jnp.ndarray] = {}
+    lines_d: Dict[int, jnp.ndarray] = {}
+    pts_d: Dict[int, jnp.ndarray] = {}
     for ds in (1, 2, 4, 8):
         h, w = latent_h // ds, latent_w // ds
         if h < 1 or w < 1:
             continue
         s = h * w
-
-        def pair_mask(key_cam_fp, query_cam_fp):
-            fm = epipolar.fundamental_from_projections(key_cam_fp, query_cam_fp)
-            return epipolar.epipolar_distances(fm, h, w) > threshold
 
         def pix_proj(cam, hh, ww):
             ndc2pix = jnp.array(
@@ -120,16 +133,43 @@ def make_cross_view_state(
         pk = jax.vmap(lambda c: pix_proj(c, h, w))(key_sel)  # [F*n_key, 3, 4]
         pq = jax.vmap(lambda c: pix_proj(c, h, w))(cams_b)  # [F, 3, 4]
         pq_rep = jnp.repeat(pq, n_key, axis=0)  # [F*n_key, 3, 4]
-        m = jax.vmap(pair_mask)(pk, pq_rep)  # [F*n_key, S, S]
-        m = m.reshape(f, n_key, s, s)
-        # the pivot frame of this batch is unconstrained
         frame_ids = jnp.arange(f)
-        m = jnp.where(
-            (frame_ids == pivot_in_batch)[:, None, None, None], False, m
-        )
-        masks[s] = m
+        is_pivot = frame_ids == pivot_in_batch
+
+        if mode == "banded":
+
+            def pair_lines(key_cam_fp, query_cam_fp):
+                fm = epipolar.fundamental_from_projections(
+                    key_cam_fp, query_cam_fp
+                )
+                return epipolar.epipolar_lines(fm, h, w)
+
+            ln = jax.vmap(pair_lines)(pk, pq_rep)  # [F*n_key, S, 3]
+            ln = ln.reshape(f, n_key, s, 3)
+            # the pivot frame is unconstrained: zero lines => distance 0
+            ln = jnp.where(is_pivot[:, None, None, None], 0.0, ln)
+            lines_d[s] = ln
+            pts_d[s] = epipolar._pixel_grid(h, w)
+        else:
+
+            def pair_mask(key_cam_fp, query_cam_fp):
+                fm = epipolar.fundamental_from_projections(
+                    key_cam_fp, query_cam_fp
+                )
+                return epipolar.epipolar_distances(fm, h, w) > threshold
+
+            m = jax.vmap(pair_mask)(pk, pq_rep)  # [F*n_key, S, S]
+            m = m.reshape(f, n_key, s, s)
+            m = jnp.where(is_pivot[:, None, None, None], False, m)
+            masks[s] = m
     return CrossViewState(
-        closest_cam=closest, blend_w1=w1, epipolar=masks, n_key=n_key
+        closest_cam=closest,
+        blend_w1=w1,
+        epipolar=masks or None,
+        epi_lines=lines_d or None,
+        epi_pts=pts_d or None,
+        n_key=n_key,
+        epi_threshold=threshold,
     )
 
 
@@ -301,6 +341,7 @@ class DGEGuidance:
                 lat_w,
                 n_key,
                 cfg.epipolar_threshold,
+                cfg.epipolar_mode,
             )
             te_b, cl_b = triple_for(sl)
             inp_b = jnp.concatenate([P.triple(latents[sl]), cl_b], axis=-1)
@@ -337,20 +378,26 @@ class DGEGuidance:
             cams_b = _gather_cams(cams, sl)
             cv = make_cross_view_state(
                 cams_b, key_cams, jnp.asarray(piv_off[i]), lat_h, lat_w, 2,
-                cfg.epipolar_threshold,
+                cfg.epipolar_threshold, cfg.epipolar_mode,
             )
             if i == 0:
                 # reference batch 0 uses a single key: duplicate the closest
                 # key with blend 1.0 (exactly equivalent)
+                def dup(d):
+                    if d is None:
+                        return None
+                    return {
+                        s: jnp.stack([m[:, 0], m[:, 0]], axis=1)
+                        for s, m in d.items()
+                    }
+
                 cv = cv.replace(
                     closest_cam=jnp.stack(
                         [cv.closest_cam[:, 0], cv.closest_cam[:, 0]], axis=1
                     ),
                     blend_w1=jnp.ones_like(cv.blend_w1),
-                    epipolar={
-                        s: jnp.stack([m[:, 0], m[:, 0]], axis=1)
-                        for s, m in cv.epipolar.items()
-                    },
+                    epipolar=dup(cv.epipolar),
+                    epi_lines=dup(cv.epi_lines),
                 )
             states.append(cv)
             te_b, cl_b = triple_for(sl)
@@ -513,7 +560,8 @@ class DGEGuidance:
         target = jax.lax.stop_gradient(latents - grad)
         loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / b
         return {"grad": grad, "loss_sds": loss_sds,
-                "grad_norm": jnp.linalg.norm(grad)}
+                "grad_norm": jnp.linalg.norm(grad),
+                "latents": latents, "target": target}
 
     def compute_grad_sds(
         self,

@@ -41,18 +41,55 @@ def parse_args(argv=None):
     p.add_argument("--out", type=str, default="outputs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="checkpoint path (from <trial>/ckpts) to resume --train from "
+        "(reference launch.py:189-211)",
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: call jax.distributed.initialize() (coordinator "
+        "address/process id from the standard JAX env vars or TPU "
+        "metadata); the TPU analog of the reference's unused Lightning "
+        "DDP scaffolding (SURVEY.md §2.6)",
+    )
+    p.add_argument(
+        "--smoke", action="store_true",
+        help="allow --train with random diffusion weights (outputs are noise)",
+    )
+    p.add_argument(
+        "--typecheck", action="store_true",
+        help="install the jaxtyping+typeguard runtime shape-check import "
+        "hook over dge_tpu (reference launch.py:72-75)",
+    )
     p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.typecheck:
+        from jaxtyping import install_import_hook
+
+        # must run before any dge_tpu import in this process
+        install_import_hook("dge_tpu", "typeguard.typechecked")
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
+
+    if args.distributed:
+        # idempotent on single host; on a pod each process discovers its
+        # coordinator from env/TPU metadata. Host-level orchestration rides
+        # DCN, collectives inside shard_map ride ICI.
+        jax.distributed.initialize()
+        log.info(
+            "distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
 
     from dge_tpu.utils import config as C
 
@@ -87,7 +124,8 @@ def main(argv=None):
     elif args.fit:
         run_fit(cfg, source, trial_dir, args.seed)
     elif args.train:
-        run_edit(cfg, gs_source, source, trial_dir, args.seed)
+        run_edit(cfg, gs_source, source, trial_dir, args.seed,
+                 smoke=args.smoke, resume=args.resume, out_root=args.out)
     else:
         log.error("choose a mode: --train / --test / --render / --fit")
         sys.exit(2)
@@ -205,8 +243,11 @@ def _find_ext(d, stem):
     return ".png"
 
 
-def run_edit(cfg, gs_source, source, trial_dir, seed):
+def run_edit(cfg, gs_source, source, trial_dir, seed, smoke=False,
+             resume=None, out_root="outputs"):
     """Config-4: the full DGE edit loop."""
+    import hashlib
+
     import jax
     import jax.numpy as jnp
 
@@ -239,17 +280,56 @@ def run_edit(cfg, gs_source, source, trial_dir, seed):
 
         log.info("loading IP2P weights from %s", ckpt_dir)
         params = load_ip2p_checkpoint(ckpt_dir)
-    else:
+    elif smoke or cfg.get("system", {}).get("allow_random_weights", False):
         log.warning(
-            "no IP2P checkpoint configured (system.ip2p_checkpoint) — using "
-            "RANDOM weights; edits will be noise. Provide a local diffusers "
-            "timbrooks/instruct-pix2pix directory for real edits."
+            "SMOKE RUN: no IP2P checkpoint configured "
+            "(system.ip2p_checkpoint) — using RANDOM weights; edits will be "
+            "noise. Outputs are marked smoke-only."
         )
+        with open(os.path.join(trial_dir, "SMOKE_ONLY.txt"), "w") as f:
+            f.write(
+                "this trial ran with random diffusion weights — edit "
+                "outputs are noise, usable only for pipeline smoke testing\n"
+            )
+    else:
+        log.error(
+            "--train needs real diffusion weights: set "
+            "system.ip2p_checkpoint to a local diffusers "
+            "timbrooks/instruct-pix2pix directory, or pass --smoke to run "
+            "the pipeline with random weights (noise output)."
+        )
+        sys.exit(2)
     models = ip2p.build_models(params=params)
 
     tok = T.load_tokenizer(
         os.path.join(ckpt_dir, "tokenizer") if ckpt_dir else None
     )
+    if ckpt_dir is None or not os.path.isdir(ckpt_dir):
+        log.warning("no tokenizer vocabulary — HashTokenizer ids are "
+                    "meaningless (smoke only)")
+
+    # perceptual loss: always part of the refit objective (DGE.py:637-683);
+    # converted VGG16 weights when configured, random-init multi-scale
+    # features otherwise (still a usable structural loss)
+    from dge_tpu.models.lpips import make_perceptual_fn
+
+    vgg_ckpt = sys_cfg.get("vgg_checkpoint")
+    lpips_params = None
+    if vgg_ckpt and os.path.exists(vgg_ckpt):
+        import torch
+
+        from dge_tpu.diffusion.weights import convert_vgg16_torchvision
+
+        log.info("loading VGG16 weights from %s", vgg_ckpt)
+        sd = torch.load(vgg_ckpt, map_location="cpu", weights_only=True)
+        lpips_params = {"vgg": convert_vgg16_torchvision(sd)}
+        # lin heads keep their default init unless present in the ckpt
+    perceptual_fn, _ = make_perceptual_fn(rng=jax.random.PRNGKey(7))
+    if lpips_params is not None:
+        full = make_perceptual_fn(rng=jax.random.PRNGKey(7))[1]
+        full = dict(full)
+        full.update(lpips_params)
+        perceptual_fn, _ = make_perceptual_fn(params=full)
     pp = PromptProcessor(
         tok,
         lambda ids: ip2p.encode_text(models, jnp.asarray(ids)),
@@ -268,6 +348,16 @@ def run_edit(cfg, gs_source, source, trial_dir, seed):
     seg = build_segmentor(
         sys_cfg.get("segmentor", "fallback"), sys_cfg.get("mask_dir", "")
     )
+    # persistent cross-trial edit cache keyed by (gs_source, prompt, #views)
+    # (DGE.py:96-99 cache layout); a re-run with the same key skips the
+    # edit rounds entirely unless system.edit.cache_overwrite is set
+    cache_key = hashlib.md5(
+        f"{os.path.abspath(gs_source)}|{sys_cfg.get('prompt', '')}|"
+        f"{len(cams)}".encode()
+    ).hexdigest()[:16]
+    cache_dir = os.path.join(out_root, "edit_cache", cache_key)
+    log.info("edit cache: %s", cache_dir)
+
     system = DGESystem(
         e_cfg,
         scene,
@@ -275,11 +365,20 @@ def run_edit(cfg, gs_source, source, trial_dir, seed):
         guidance=guidance,
         text_emb_pos=jnp.asarray(po.cond),
         text_emb_neg=jnp.asarray(po.uncond),
+        perceptual_fn=perceptual_fn,
         cameras_extent=cs.cameras_extent,
-        cache_dir=os.path.join(trial_dir, "edit_cache"),
+        cache_dir=cache_dir,
         segmentor=seg,
     )
-    final = system.run(jax.random.PRNGKey(seed), log_fn=log.info)
+    start_step = 0
+    if resume:
+        start_step = system.restore_state(resume)
+        log.info("resumed from %s at step %d", resume, start_step)
+    final = system.run(
+        jax.random.PRNGKey(seed), log_fn=log.info, start_step=start_step,
+        ckpt_dir=os.path.join(trial_dir, "ckpts"),
+        val_dir=os.path.join(trial_dir, "val"),
+    )
     G.save_ply(final, os.path.join(trial_dir, "last.ply"))
     log.info("saved edited scene to %s/last.ply", trial_dir)
 

@@ -62,6 +62,151 @@ def test_edit_system_end_to_end(tiny_models, rng, tmp_path):
     assert delta > 0
 
 
+def test_sds_mode_end_to_end(tiny_models, rng, tmp_path):
+    """use_sds branch (DGE.py:685-694): per-step score distillation through
+    the multi-view guidance, no edit frames."""
+    scene = make_random_scene(rng, n=64, capacity=128)
+    cams = ring_cameras(4, height=32, width=32)
+    d = tiny_models.unet.config.cross_attention_dim
+    guidance = DGEGuidance(
+        GuidanceConfig(camera_batch_size=2, diffusion_steps=2,
+                       resize_target=64),
+        tiny_models,
+    )
+    cfg = EditConfig(
+        max_steps=3,
+        use_sds=True,
+        camera_batch_size=4,
+        densify_from=1000,
+        tile_px=16,
+        max_per_tile=64,
+        chunk=16,
+        lambda_perceptual=0.0,
+    )
+    system = DGESystem(
+        cfg, scene, cams, guidance=guidance,
+        text_emb_pos=jnp.zeros((7, d)), text_emb_neg=jnp.zeros((7, d)),
+    )
+    out_scene = system.run(
+        jax.random.PRNGKey(0), steps=3, log_fn=lambda *_: None
+    )
+    assert not system.edit_frames  # SDS path never builds edit frames
+    delta = float(jnp.abs(out_scene.features_dc - scene.features_dc).max())
+    assert delta > 0
+    # densification stats accumulated from the batched viewspace grads
+    assert float(system.fit_state.denom.max()) > 0
+
+
+def test_ring_order_reference_semantics():
+    """_ring_order must reproduce sort_the_cameras_idx (DGE.py:588-600) on
+    an orbit: signed angle from the leftmost camera's forward vector."""
+    import math
+
+    from dge_tpu.systems.edit import _ring_order
+
+    n = 8
+    angles = [2 * math.pi * i / n for i in range(n)]
+    centers = np.array(
+        [[3 * math.sin(a), 0.1, -3 * math.cos(a)] for a in angles]
+    )
+    # inward-looking: forward = -center direction
+    forwards = -centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    # reference implementation, verbatim semantics
+    f = forwards
+    mlv = f[int(np.argmin(centers[:, 0]))]
+    d0 = [math.acos(min(max(float(np.dot(mlv, v)), 0.0), 1.0)) for v in f]
+    order0 = sorted(range(n), key=lambda i: d0[i])
+    ref_axis = np.cross(mlv, f[order0[1]])
+    signed = []
+    for v in f:
+        a = math.acos(min(max(float(np.dot(mlv, v)), -1.0), 1.0))
+        s = float(np.dot(ref_axis, np.cross(mlv, v)))
+        signed.append(a if s >= 0 else 2 * math.pi - a)
+    want = sorted(range(n), key=lambda i: signed[i])
+
+    got = _ring_order(centers, forwards)
+    assert got == want
+    # and it is a ring: consecutive cameras are spatial neighbors
+    pos = {v: i for i, v in enumerate(got)}
+    for i in range(n):
+        j = got[(pos[i] + 1) % n]
+        gap = abs(i - j) % n
+        assert min(gap, n - gap) == 1
+
+
+def _mini_system(tiny_models, rng, cache_dir=None, n=64):
+    scene = make_random_scene(rng, n=n, capacity=128)
+    cams = ring_cameras(4, height=32, width=32)
+    d = tiny_models.unet.config.cross_attention_dim
+    guidance = DGEGuidance(
+        GuidanceConfig(camera_batch_size=2, diffusion_steps=2,
+                       resize_target=64),
+        tiny_models,
+    )
+    cfg = EditConfig(
+        max_steps=6, camera_update_per_step=100, densify_from=1000,
+        added_noise_schedule=(300,), tile_px=16, max_per_tile=64, chunk=16,
+        lambda_perceptual=0.0,
+    )
+    return DGESystem(
+        cfg, scene, cams, guidance=guidance,
+        text_emb_pos=jnp.zeros((7, d)), text_emb_neg=jnp.zeros((7, d)),
+        cache_dir=cache_dir,
+    ), scene, cams
+
+
+def test_resume_matches_uninterrupted(tiny_models, tmp_path):
+    """Kill-and-resume parity (reference launch.py:189-211): a run resumed
+    from a mid-way checkpoint ends in exactly the state of the
+    uninterrupted run (per-step fold_in rng + cached edit frames)."""
+    r = np.random.default_rng(3)
+    cache = str(tmp_path / "cache")
+    key = jax.random.PRNGKey(5)
+
+    sys_a, scene0, _ = _mini_system(tiny_models, r, cache_dir=cache)
+    full = sys_a.run(key, steps=6, log_fn=lambda *_: None)
+
+    r2 = np.random.default_rng(3)
+    sys_b, _, _ = _mini_system(tiny_models, r2, cache_dir=cache)
+    ck = str(tmp_path / "ck")
+    sys_b.run(key, steps=3, log_fn=lambda *_: None)
+    sys_b.save_state(ck, 3)
+
+    r3 = np.random.default_rng(3)
+    sys_c, _, _ = _mini_system(tiny_models, r3, cache_dir=cache)
+    start = sys_c.restore_state(ck)
+    assert start == 3
+    resumed = sys_c.run(key, steps=6, start_step=start,
+                        log_fn=lambda *_: None)
+
+    np.testing.assert_allclose(
+        np.asarray(resumed.features_dc), np.asarray(full.features_dc),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.xyz), np.asarray(full.xyz), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_edit_cache_reuse(tiny_models, tmp_path):
+    """Second run with the same cache dir must skip the guidance entirely
+    (DGE.py:96-99 cached-frame reload)."""
+    r = np.random.default_rng(3)
+    cache = str(tmp_path / "cache")
+    sys_a, _, _ = _mini_system(tiny_models, r, cache_dir=cache)
+    sys_a.run(jax.random.PRNGKey(5), steps=2, log_fn=lambda *_: None)
+    frames_a = {k: v.copy() for k, v in sys_a.edit_frames.items()}
+
+    r2 = np.random.default_rng(3)
+    sys_b, _, _ = _mini_system(tiny_models, r2, cache_dir=cache)
+    sys_b.guidance = None  # guidance must not be touched on a cache hit
+    sys_b.run(jax.random.PRNGKey(5), steps=2, log_fn=lambda *_: None)
+    assert set(sys_b.edit_frames) == set(frames_a)
+    for k in frames_a:
+        # png round-trip quantizes to u8
+        assert np.abs(sys_b.edit_frames[k] - frames_a[k]).max() < 1 / 128
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     from dge_tpu.systems import fit as F
     from dge_tpu.systems import optim as O

@@ -78,7 +78,7 @@ class TestCrossViewState:
         cams = stack_cameras(ring_cameras(4, height=64, width=64))
         keys = stack_cameras(ring_cameras(2, height=64, width=64, dist=3.4))
         cv = make_cross_view_state(
-            cams, keys, jnp.asarray(1), 16, 16, n_key=2
+            cams, keys, jnp.asarray(1), 16, 16, n_key=2, mode="dense"
         )
         assert cv.closest_cam.shape == (4, 2)
         assert cv.blend_w1.shape == (4,)
@@ -89,6 +89,87 @@ class TestCrossViewState:
         # blend weight in (0.5, 1): sigmoid of d2/(d1+d2) with d2 >= d1
         w = np.asarray(cv.blend_w1)
         assert np.all(w > 0.5) and np.all(w < 1.0)
+
+    def test_banded_state_shapes(self):
+        cams = stack_cameras(ring_cameras(4, height=64, width=64))
+        keys = stack_cameras(ring_cameras(2, height=64, width=64, dist=3.4))
+        cv = make_cross_view_state(
+            cams, keys, jnp.asarray(1), 16, 16, n_key=2, mode="banded"
+        )
+        assert cv.epipolar is None
+        assert set(cv.epi_lines.keys()) == {256, 64, 16, 4}
+        ln = np.asarray(cv.epi_lines[256])
+        assert ln.shape == (4, 2, 256, 3)
+        assert not ln[1].any()  # pivot frame: zero lines -> unconstrained
+        assert np.asarray(cv.epi_pts[256]).shape == (256, 3)
+        # line coefficients are normalized: |(a, b)| == 1 on non-pivot rows
+        nrm = np.linalg.norm(ln[0, :, :, :2], axis=-1)
+        assert np.allclose(nrm, 1.0, atol=1e-4)
+
+    def test_banded_violation_matches_dense_mask(self):
+        """|lines . pts| > thr reproduces the dense violation mask exactly."""
+        cams = stack_cameras(ring_cameras(4, height=64, width=64))
+        keys = stack_cameras(ring_cameras(2, height=64, width=64, dist=3.4))
+        dense = make_cross_view_state(
+            cams, keys, jnp.asarray(1), 16, 16, n_key=2, mode="dense"
+        )
+        band = make_cross_view_state(
+            cams, keys, jnp.asarray(1), 16, 16, n_key=2, mode="banded"
+        )
+        for s in (256, 64):
+            lines = np.asarray(band.epi_lines[s])  # [F, K, S, 3]
+            pts = np.asarray(band.epi_pts[s])  # [S, 3]
+            dist = np.abs(np.einsum("fksc,tc->fkst", lines, pts))
+            viol = dist > band.epi_threshold
+            # normalize-then-dot vs dot-then-divide round differently right
+            # AT the threshold — require agreement away from the boundary
+            clear = np.abs(dist - band.epi_threshold) > 1e-3
+            dm = np.asarray(dense.epipolar[s])
+            assert (viol == dm)[clear].all()
+            # and boundary flips are a vanishing fraction
+            assert (viol != dm).mean() < 1e-3
+
+
+class TestBandedArgmax:
+    def test_blockwise_matches_dense_semantics(self, rng):
+        """epi_blockwise_argmax == the reference's zero-then-argmax with
+        all-violating-row exemption, for block sizes that do and don't
+        divide S."""
+        from dge_tpu.models.layers import epi_blockwise_argmax
+
+        f, k, s, d = 3, 2, 100, 8
+        img = rng.normal(size=(f, s, d)).astype(np.float32)
+        piv = rng.normal(size=(f, k, s, d)).astype(np.float32)
+        # random lines/pts produce a mixed violation pattern; make one
+        # (f, k, query) row all-violating to exercise the exemption
+        lines = rng.normal(size=(f, k, s, 3)).astype(np.float32)
+        pts = rng.normal(size=(s, 3)).astype(np.float32)
+        lines[1, 0, 5] = 100.0  # every |line . pt| >> thr for this row
+        thr = 1.0
+
+        # oracle computed with the same XLA einsums (numpy's different
+        # f32 reduction order could flip near-tie argmaxes)
+        sim = np.asarray(
+            jnp.einsum("fsd,fktd->fkst", jnp.asarray(img), jnp.asarray(piv),
+                       preferred_element_type=jnp.float32)
+        )
+        viol = np.asarray(
+            jnp.abs(jnp.einsum("fksc,tc->fkst", jnp.asarray(lines),
+                               jnp.asarray(pts))) > thr
+        )
+        all_bad = viol.all(axis=-1, keepdims=True)
+        assert all_bad.any() and not all_bad.all()
+        masked = np.where(viol & ~all_bad, 0.0, sim)
+        want = masked.argmax(axis=-1)
+
+        for block in (32, 100, 7, 512):
+            got = np.asarray(
+                epi_blockwise_argmax(
+                    jnp.asarray(img), jnp.asarray(piv), jnp.asarray(lines),
+                    jnp.asarray(pts), thr, block=block,
+                )
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"block={block}")
 
 
 @pytest.fixture(scope="module")
@@ -150,7 +231,7 @@ class TestGuidance:
 
 
 class TestBatchedReuse:
-    def _run(self, mode, rng):
+    def _run(self, mode, rng, epipolar_mode="banded"):
         models = ip2p.build_models(
             UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
             rng=jax.random.PRNGKey(0),
@@ -158,7 +239,7 @@ class TestBatchedReuse:
         g = DGEGuidance(
             GuidanceConfig(
                 camera_batch_size=2, diffusion_steps=2, resize_target=64,
-                batch_mode=mode,
+                batch_mode=mode, epipolar_mode=epipolar_mode,
             ),
             models,
         )
@@ -184,6 +265,15 @@ class TestBatchedReuse:
     def test_shard_mode_runs(self, rng):
         out = self._run("shard", rng)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_banded_matches_dense_end_to_end(self, rng):
+        """The banded epipolar path must reproduce the dense-mask edit
+        bit-for-bit (identical argmax indices -> identical gathers)."""
+        out_dense = self._run("loop", rng, epipolar_mode="dense")
+        out_band = self._run("loop", rng, epipolar_mode="banded")
+        assert np.allclose(out_dense, out_band, atol=2e-5), (
+            np.abs(np.asarray(out_dense) - np.asarray(out_band)).max()
+        )
 
 
 class TestSDSMultiview:

@@ -92,6 +92,79 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_tile_sharded_render_matches_single(rng):
+    """One image's tile-row bands across 4 devices == the single-device
+    render (modulo per-band depth-quantization tie order)."""
+    from dge_tpu.ops import render as R
+    from dge_tpu.parallel import tile_shard as TS
+
+    scene = make_random_scene(rng, n=60, capacity=64)
+    cams = ring_cameras(1, height=64, width=64)
+    cam = cams[0]
+    bg = jnp.zeros(3)
+    single = R.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=16)
+
+    mesh = TS.make_tile_mesh(4)
+    fn = TS.make_tile_sharded_render(
+        mesh, 64, 64, tile_px=16, max_per_tile=128, chunk=16
+    )
+    color, depth, alpha, spill = fn(scene, cam, bg)
+    assert color.shape == (64, 64, 3)
+    assert int(spill) == int(single.spill) == 0
+    # per-band depth quantization ranges differ from the global ones, so
+    # near-equal depths may swap compositing order — tolerance, not equality
+    assert np.allclose(np.asarray(color), np.asarray(single.color),
+                       atol=5e-3), np.abs(
+        np.asarray(color) - np.asarray(single.color)
+    ).max()
+    assert np.allclose(np.asarray(alpha), np.asarray(single.alpha), atol=5e-3)
+
+
+def test_view_tile_train_step_matches_view_sharded(rng):
+    """(2 views x 4 tile bands) == (2 views, whole images) for the L1-only
+    objective: the band decomposition of the loss is exact."""
+    from dge_tpu.parallel import tile_shard as TS
+
+    scene = make_random_scene(rng, n=60, capacity=64)
+    cams = ring_cameras(2, height=64, width=64)
+    batch = M.stack_cameras(cams)
+    targets = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    bg = jnp.zeros(3)
+
+    def fresh():
+        optimizer = O.make_optimizer(O.OptimConfig.scaled(100))
+        return optimizer, optimizer.init(scene.params()), FitState.create(
+            scene.capacity
+        )
+
+    opt_a, os_a, fs_a = fresh()
+    step_a = S.make_sharded_train_step(
+        opt_a, M.make_view_mesh(2), lambda_dssim=0.0, tile_px=16,
+        max_per_tile=128, chunk=16,
+    )
+    sa, _, fsa, aux_a = step_a(scene, os_a, fs_a, batch, targets, bg)
+
+    opt_b, os_b, fs_b = fresh()
+    mesh2 = TS.make_view_tile_mesh(2, 4)
+    step_b = TS.make_view_tile_train_step(
+        opt_b, mesh2, 64, 64, lambda_dssim=0.0, tile_px=16,
+        max_per_tile=128, chunk=16,
+    )
+    sb, _, fsb, aux_b = step_b(scene, os_b, fs_b, batch, targets, bg)
+
+    assert np.allclose(float(aux_a["loss"]), float(aux_b["loss"]), atol=1e-5)
+    assert np.allclose(
+        np.asarray(sa.features_dc), np.asarray(sb.features_dc), atol=1e-4
+    )
+    assert np.allclose(np.asarray(sa.xyz), np.asarray(sb.xyz), atol=1e-4)
+    # densification stats agree where it matters (union visibility)
+    assert np.allclose(
+        np.asarray(fsa.max_radii2d), np.asarray(fsb.max_radii2d), atol=1e-3
+    )
+
+
 def test_gauss_sharded_preprocess_matches(rng):
     """Gaussian-axis-sharded preprocess == single-device preprocess."""
     from dge_tpu.ops import projection
