@@ -1,30 +1,45 @@
 """Benchmark: rendered frames/s/chip at 512x512 (BASELINE.json north-star
-metric, config 1).
+metric, config 1), plus the config-2 train step and the config-4 full-size
+edit round.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``vs_baseline`` is measured against the only in-repo reference claim —
 >= 30 fps novel-view rendering (vendored upstream 3DGS README,
 /root/reference/gaussiansplatting/README.md:16, RTX-class GPU at 1080p; we
 measure 512^2, the DGE working resolution, configs/dge.yaml:36).
+
+``extra`` carries the secondary metrics:
+- train_step_ms: full fwd+bwd+Adam step, 131k Gaussians, 512^2
+  (pallas_train custom-VJP path on TPU)
+- edit_step_s / edit_round_s_est / edit_enc_s / edit_dec_s: the config-4
+  edit round at the REFERENCE workload shape (20 views 512^2, bf16 SD-1.5
+  UNet with IP2P 8ch conv_in, camera batch 5, banded epipolar pivot reuse;
+  configs/dge.yaml:36,54,75-76) with 20 DDIM steps extrapolated from
+  measured steady-state steps. Weights are random — no pretrained
+  checkpoint can enter this container — which does not change the compute.
 """
 
 import json
 import math
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    from dge_tpu.ops import render as R
+
+def _sync(x):
+    """Force completion via host transfer (block_until_ready is unreliable
+    through the axon relay)."""
+    return float(np.asarray(x.sum() if hasattr(x, "sum") else x))
+
+
+def make_bench_scene(n=131072):
     from dge_tpu.scene import gaussians as G
-    from dge_tpu.scene import look_at_camera
-    from dge_tpu.scene.camera_arrays import CameraArrays
 
-    n = 131072  # ~bear-scene scale
     rng = np.random.default_rng(0)
     xyz = rng.normal(size=(n, 3)).astype(np.float32)
     fdc = rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.5
@@ -33,14 +48,15 @@ def main():
     scaling = rng.uniform(-5.0, -3.5, size=(n, 3)).astype(np.float32)
     rot = rng.normal(size=(n, 4)).astype(np.float32)
     rot /= np.linalg.norm(rot, axis=1, keepdims=True)
-    scene = G.from_arrays(xyz, fdc, frest, opacity, scaling, rot, max_sh_degree=1)
+    return G.from_arrays(xyz, fdc, frest, opacity, scaling, rot,
+                         max_sh_degree=1)
 
-    cam = look_at_camera(
-        np.array([0.0, 0.3, -4.0]), np.zeros(3), fovx=math.radians(60),
-        height=512, width=512,
-    )
-    cam_arr = CameraArrays.from_camera(cam)
-    bg = jnp.zeros(3, jnp.float32)
+
+def bench_render(scene, cam_arr, bg):
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.ops import render as R
 
     backend = (
         "pallas_stream" if jax.default_backend() in ("tpu", "axon") else "jnp"
@@ -53,11 +69,11 @@ def main():
             backend=backend,
         )
         # scalar digest: the final host transfer forces completion of the
-        # whole chain (block_until_ready is unreliable through remote relays)
+        # whole chain
         return out.color.sum()
 
-    # compile + warm the device/relay pipeline (first executions through a
-    # remote relay pay setup costs that are not steady-state)
+    import jax.numpy as jnp
+
     acc0 = jnp.float32(0.0)
     for i in range(5):
         acc0 = acc0 + forward(
@@ -66,8 +82,6 @@ def main():
     float(acc0)
 
     iters = 20
-    # distinct inputs per frame, chained into one dependency so a single
-    # host transfer at the end bounds all executions (throughput measure)
     variants = [
         scene.replace(opacity=scene.opacity + 1e-6 * i) for i in range(iters)
     ]
@@ -78,7 +92,190 @@ def main():
         acc = acc + forward(s, cam_arr, bg)
     float(acc)
     dt = time.perf_counter() - t0
-    fps = iters / dt
+    return iters / dt
+
+
+def bench_train_step(scene, cam_arr, bg):
+    """Config-2: full fwd+bwd+Adam step at 131k Gaussians, 512^2."""
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.systems import fit as F
+    from dge_tpu.systems import optim as O
+
+    optimizer = O.make_optimizer(O.OptimConfig.scaled(1500))
+    opt_state = optimizer.init(scene.params())
+    fit_state = F.FitState.create(scene.capacity)
+    step = F.make_train_step(
+        optimizer, lambda_dssim=0.0, tile_px=32, max_per_tile=2048, chunk=64
+    )
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(512, 512, 3)).astype(np.float32)
+    )
+    s, o, f = scene, opt_state, fit_state
+    for _ in range(3):  # compile + warm
+        s, o, f, aux = step(s, o, f, cam_arr, target, bg)
+    _sync(aux["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, o, f, aux = step(s, o, f, cam_arr, target, bg)
+    _sync(s.xyz)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def bench_edit_round():
+    """Config-4 workload shape: 20 views 512^2, bf16 full-size IP2P UNet,
+    camera batch 5, one pivot + 4 reuse passes per DDIM step, banded
+    epipolar. Measures VAE encode, steady-state eps-prediction step, VAE
+    decode; the 20-step round wall-clock is extrapolated (20 * step +
+    enc + dec)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.diffusion import ddim
+    from dge_tpu.diffusion import ip2p as P
+    from dge_tpu.parallel.mesh import stack_cameras
+    from dge_tpu.scene import look_at_camera
+    from dge_tpu.scene.camera_arrays import CameraArrays
+    from dge_tpu.systems.guidance import DGEGuidance, GuidanceConfig
+
+    b, h, w = 20, 512, 512
+    models = P.build_models(dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    g = DGEGuidance(
+        GuidanceConfig(camera_batch_size=5, epipolar_mode="banded"), models
+    )
+
+    cams = []
+    for i in range(b):
+        ang = 2 * math.pi * i / b
+        eye = np.array([3.5 * math.sin(ang), 0.3, -3.5 * math.cos(ang)])
+        cams.append(
+            CameraArrays.from_camera(
+                look_at_camera(eye, np.zeros(3), fovx=math.radians(60),
+                               height=h, width=w)
+            )
+        )
+    cam_batch = stack_cameras(cams)
+
+    r = np.random.default_rng(2)
+    rgb = jnp.asarray(r.uniform(size=(b, h, w, 3)).astype(np.float32))
+    cond = jnp.asarray(r.uniform(size=(b, h, w, 3)).astype(np.float32))
+    emb = jnp.asarray(r.normal(size=(b, 77, 768)).astype(np.float32) * 0.02)
+
+    rng = jax.random.PRNGKey(3)
+    rng, r_enc = jax.random.split(rng)
+
+    _progress("edit: compiling VAE encode...")
+    t0 = time.perf_counter()
+    latents = P.encode_images(models, rgb, r_enc)
+    _sync(latents.astype(jnp.float32))
+    enc_compile = time.perf_counter() - t0
+    _progress(f"edit: VAE encode compile {enc_compile:.0f}s")
+    t0 = time.perf_counter()
+    latents = P.encode_images(models, rgb, r_enc)
+    cond_lat = P.encode_cond_images(models, cond)
+    _sync(latents.astype(jnp.float32))
+    _sync(cond_lat.astype(jnp.float32))
+    t_enc = time.perf_counter() - t0
+
+    cond_img, _, cond_zero = jnp.split(cond_lat, 3, axis=0)
+    neg = emb
+
+    def triple_for(idx):
+        te = jnp.concatenate([emb[idx], neg[idx], neg[idx]], 0)
+        cl = jnp.concatenate([cond_img[idx], cond_img[idx], cond_zero[idx]], 0)
+        return te, cl
+
+    t_step_t = 541  # mid-schedule, > normal_attn_below_t -> pivot path
+    lat_h, lat_w = latents.shape[1], latents.shape[2]
+    noisy = ddim.add_noise(
+        models.schedule, latents,
+        jax.random.normal(rng, latents.shape, latents.dtype),
+        jnp.full((b,), t_step_t),
+    )
+
+    # compile + warm (pivot fn + 1-key and 2-key batch fns)
+    _progress("edit: compiling UNet pivot + reuse passes...")
+    t0 = time.perf_counter()
+    eps = g._predict_eps_multiview(
+        noisy, t_step_t, cam_batch, triple_for, b, 5, 4, lat_h, lat_w,
+        jax.random.PRNGKey(4),
+    )
+    _sync(eps.astype(jnp.float32))
+    step_compile = time.perf_counter() - t0
+    _progress(f"edit: step compile+first run {step_compile:.0f}s")
+
+    iters = 2
+    t0 = time.perf_counter()
+    for i in range(iters):
+        eps = g._predict_eps_multiview(
+            noisy, t_step_t, cam_batch, triple_for, b, 5, 4, lat_h, lat_w,
+            jax.random.PRNGKey(5 + i),
+        )
+        _sync(eps.astype(jnp.float32))
+    t_step = (time.perf_counter() - t0) / iters
+
+    t0 = time.perf_counter()
+    imgs = P.decode_latents(models, latents)
+    _sync(imgs.astype(jnp.float32))
+    dec_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    imgs = P.decode_latents(models, latents)
+    _sync(imgs.astype(jnp.float32))
+    t_dec = time.perf_counter() - t0
+
+    return {
+        "edit_enc_s": round(t_enc, 3),
+        "edit_step_s": round(t_step, 3),
+        "edit_dec_s": round(t_dec, 3),
+        "edit_round_s_est": round(20 * t_step + t_enc + t_dec, 2),
+        "edit_iters_per_s": round(1.0 / t_step, 4),
+        "edit_compile_s": round(enc_compile + step_compile + dec_compile, 1),
+        "edit_shape": "20v x 512^2, bf16 SD1.5-UNet(8ch), cbs=5, banded",
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache amortizes the big UNet compiles across rounds
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dge_tpu.scene import look_at_camera
+    from dge_tpu.scene.camera_arrays import CameraArrays
+
+    scene = make_bench_scene()
+    cam = look_at_camera(
+        np.array([0.0, 0.3, -4.0]), np.zeros(3), fovx=math.radians(60),
+        height=512, width=512,
+    )
+    cam_arr = CameraArrays.from_camera(cam)
+    bg = jnp.zeros(3, jnp.float32)
+
+    _progress("render fps...")
+    fps = bench_render(scene, cam_arr, bg)
+    _progress(f"render fps = {fps:.1f}")
+
+    extra = {}
+    try:
+        _progress("train step...")
+        extra["train_step_ms"] = round(bench_train_step(scene, cam_arr, bg), 2)
+        _progress(f"train_step_ms = {extra['train_step_ms']}")
+    except Exception as e:  # pragma: no cover - diagnostic path
+        extra["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
+        _progress(f"train step FAILED: {extra['train_step_error']}")
+    try:
+        _progress("edit round (full-size bf16 UNet; compiles take minutes "
+                  "on first run)...")
+        extra.update(bench_edit_round())
+        _progress(f"edit_step_s = {extra.get('edit_step_s')}")
+    except Exception as e:  # pragma: no cover - diagnostic path
+        extra["edit_error"] = f"{type(e).__name__}: {e}"[:200]
+        _progress(f"edit round FAILED: {extra['edit_error']}")
+    extra["weights"] = "random (no pretrained ckpt available in container)"
 
     print(
         json.dumps(
@@ -87,6 +284,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / 30.0, 4),
+                "extra": extra,
             }
         )
     )

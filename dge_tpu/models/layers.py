@@ -115,6 +115,12 @@ class Attention(nn.Module):
     def out_proj(self, x):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(x)
 
+    # beyond this many logits entries per head-batch, switch to the
+    # online-softmax scan (the [B, H, Sq, Sk] tensor would not fit HBM at
+    # production sizes: extended attention at S=4096 with 5 frames is
+    # 15 x 8 x 4096 x 20480 — 40 GB in f32)
+    CHUNKED_LOGITS_THRESHOLD = 1 << 24
+
     @staticmethod
     def _attend(q, k, v, heads, dim_head):
         """q [B, Sq, H*D], k/v [B, Sk, H*D] -> [B, Sq, H*D]."""
@@ -124,14 +130,65 @@ class Attention(nn.Module):
             return x.reshape(b, s, heads, dim_head).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        scale = 1.0 / math.sqrt(dim_head)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        if q.shape[1] * k.shape[1] > Attention.CHUNKED_LOGITS_THRESHOLD:
+            out = Attention._attend_chunked(qh, kh, vh, dim_head)
+        else:
+            scale = 1.0 / math.sqrt(dim_head)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
         b, h, s, d = out.shape
         return out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    @staticmethod
+    def _attend_chunked(qh, kh, vh, dim_head, k_chunk: int = 512):
+        """Online-softmax attention scanned over key blocks (flash-attention
+        recurrence): peak memory is one [B, H, Sq, k_chunk] logits block +
+        f32 accumulators, exact softmax semantics. This is what lets the
+        full-size extended attention (K/V concatenated across frames,
+        dge_utils.py:295-330) run at 64x64 latents on one chip — the
+        reference bounds the same blow-up with a per-head fp16 loop on GPU
+        (dge_utils.py:333-340)."""
+        b, h, sq, d = qh.shape
+        sk = kh.shape[2]
+        scale = 1.0 / math.sqrt(dim_head)
+        k_chunk = min(k_chunk, sk)
+        nb = -(-sk // k_chunk)
+        pad = nb * k_chunk - sk
+        if pad:
+            kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kb = kh.reshape(b, h, nb, k_chunk, d).transpose(2, 0, 1, 3, 4)
+        vb = vh.reshape(b, h, nb, k_chunk, d).transpose(2, 0, 1, 3, 4)
+        kpos = (jnp.arange(nb * k_chunk) >= sk).reshape(nb, k_chunk)
+
+        def body(carry, xs):
+            m, l, acc = carry
+            kblk, vblk, padblk = xs
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kblk,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(padblk[None, None, None, :], -jnp.inf, logits)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])
+            l = l * corr + jnp.sum(p, axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(vblk.dtype), vblk,
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l, acc), None
+
+        init = (
+            jnp.full((b, h, sq), -jnp.inf, jnp.float32),
+            jnp.zeros((b, h, sq), jnp.float32),
+            jnp.zeros((b, h, sq, d), jnp.float32),
+        )
+        (m, l, acc), _ = jax.lax.scan(body, init, (kb, vb, kpos))
+        return (acc / l[..., None]).astype(qh.dtype)
 
     @nn.compact
     def __call__(self, x, context=None, extended_frames: int = 0):

@@ -257,12 +257,42 @@ def bin_gaussians_pairs(
     tile_px: int = 32,
     max_per_tile: int = 2048,
     max_tiles_per_gaussian: int = 32,
-    max_pairs: int = 1 << 18,
+    max_pairs: int = 0,
 ) -> PairBins:
     """Same duplicate-and-sort as bin_gaussians, but returning the sorted
     pair stream truncated to ``max_pairs`` (valid pairs sort before the
     sentinel tile, so the stream prefix is exactly the concatenation of all
-    tiles' depth-ordered lists)."""
+    tiles' depth-ordered lists).
+
+    ``max_pairs=0`` auto-scales the cap with the scene: max(2^18, 4N)
+    rounded up to a power of two — 131k Gaussians get 2^19 so real scenes
+    don't silently truncate the stream at the old fixed 2^18."""
+    n = mean2d.shape[0]
+    if max_pairs <= 0:
+        max_pairs = max(1 << 18, 1 << int(4 * n - 1).bit_length())
+    return _pair_sort(
+        mean2d, depth, radius, visible, height=height, width=width,
+        tile_px=tile_px, max_per_tile=max_per_tile,
+        max_tiles_per_gaussian=max_tiles_per_gaussian, max_pairs=max_pairs,
+        # compaction-by-scatter measured 2.5x SLOWER end to end on TPU
+        # (XLA scatter serializes 4.2M updates; the big sort it avoids is
+        # cheaper) — keep the direct sort; compact_sort stays as an option
+        # for backends with fast scatter
+        compact_sort=False,
+    )
+
+
+def _pair_sort(
+    mean2d, depth, radius, visible, *, height, width, tile_px, max_per_tile,
+    max_tiles_per_gaussian, max_pairs, compact_sort,
+):
+    """Pair-stream binning body. ``compact_sort=True`` scatters the valid
+    (tile, Gaussian) pairs into a max_pairs-sized buffer BEFORE sorting
+    (prefix-sum compaction), so lax.sort works on ~4N rows instead of
+    N * max_tiles_per_gaussian — the Gaussian duplication grid is ~94%
+    sentinel slots at real scales (avg ~2 tiles touched vs the 32-slot cap),
+    and sort time is the binning bottleneck. ``False`` is the original
+    sort-everything path, kept as the parity oracle."""
     n = mean2d.shape[0]
     tiles_x = -(-width // tile_px)
     tiles_y = -(-height // tile_px)
@@ -294,9 +324,30 @@ def bin_gaussians_pairs(
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     keys = (tile_id << depth_bits) | dq[:, None]
     ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], keys.shape)
-    keys, ids = jax.lax.sort(
-        (keys.reshape(-1), ids.reshape(-1)), num_keys=1, is_stable=True
-    )
+
+    overflow_spill = jnp.int32(0)
+    if compact_sort:
+        # prefix-sum compaction: scatter ONLY the valid pairs into a
+        # max_pairs buffer, then sort that (sentinel-filled slots sort
+        # last). Submission order is preserved by the monotone cumsum, so
+        # the stable sort keeps the same tie order as the full sort.
+        vflat = valid.reshape(-1)
+        pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+        total = pos[-1] + 1
+        pos = jnp.where(vflat, pos, max_pairs)  # drop sentinel (>= size)
+        sentinel = jnp.int32((num_tiles + 1) << depth_bits)
+        buf_keys = jnp.full((max_pairs,), sentinel, jnp.int32)
+        buf_ids = jnp.zeros((max_pairs,), jnp.int32)
+        buf_keys = buf_keys.at[pos].set(keys.reshape(-1), mode="drop")
+        buf_ids = buf_ids.at[pos].set(ids.reshape(-1), mode="drop")
+        keys, ids = jax.lax.sort(
+            (buf_keys, buf_ids), num_keys=1, is_stable=True
+        )
+        overflow_spill = jnp.maximum(total - max_pairs, 0)
+    else:
+        keys, ids = jax.lax.sort(
+            (keys.reshape(-1), ids.reshape(-1)), num_keys=1, is_stable=True
+        )
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
     starts = jnp.searchsorted(keys, tids).astype(jnp.int32)
@@ -308,6 +359,7 @@ def bin_gaussians_pairs(
     spill = (
         jnp.sum(raw - counts)
         + jnp.sum(jnp.where(vis, jnp.maximum(cnt - m, 0), 0))
+        + overflow_spill
     )
     return PairBins(
         pair_ids=ids[:max_pairs],

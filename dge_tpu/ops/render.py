@@ -23,27 +23,29 @@ import jax.numpy as jnp
 
 from dge_tpu.ops import binning, composite, projection
 from dge_tpu.scene.gaussians import GaussianScene
+from dge_tpu.typing import Bool, Float, Int
 
 
 class RenderOut(NamedTuple):
-    color: jnp.ndarray  # [H, W, 3]
-    depth: jnp.ndarray  # [H, W]
-    alpha: jnp.ndarray  # [H, W] = 1 - final_T
-    radii: jnp.ndarray  # [N]
-    visible: jnp.ndarray  # [N] bool visibility filter
-    spill: jnp.ndarray  # scalar int32 binning overflow (diagnostic)
+    color: Float[jnp.ndarray, "H W 3"]
+    depth: Float[jnp.ndarray, "H W"]
+    alpha: Float[jnp.ndarray, "H W"]  # 1 - final_T
+    radii: Float[jnp.ndarray, "N"]
+    visible: Bool[jnp.ndarray, "N"]  # visibility filter
+    spill: Int[jnp.ndarray, ""]  # binning overflow (diagnostic)
 
 
 def render(
     scene: GaussianScene,
     cam,
-    bg: Optional[jnp.ndarray] = None,
+    bg: Optional[Float[jnp.ndarray, "3"]] = None,
     *,
     tile_px: int = 32,
     max_per_tile: int = 2048,
+    max_tiles_per_gaussian: int = 32,
     scale_modifier: float = 1.0,
-    override_color: Optional[jnp.ndarray] = None,
-    mean2d_offset: Optional[jnp.ndarray] = None,
+    override_color: Optional[Float[jnp.ndarray, "N 3"]] = None,
+    mean2d_offset: Optional[Float[jnp.ndarray, "N 2"]] = None,
     chunk: int = 64,
     backend: str = "jnp",
 ) -> RenderOut:
@@ -82,6 +84,7 @@ def render(
             width=cam.width,
             tile_px=tile_px,
             max_per_tile=max_per_tile,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
         )
         color, depth, final_t = pallas_backward.stream_composite(
             mean2d,
@@ -122,6 +125,7 @@ def render(
             width=cam.width,
             tile_px=tile_px,
             max_per_tile=max_per_tile,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
         )
         color, depth, final_t = pallas_composite.composite_pairs_pallas(
             pb.pair_ids,
@@ -159,6 +163,7 @@ def render(
         width=cam.width,
         tile_px=tile_px,
         max_per_tile=max_per_tile,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
     )
     order = bins.order  # None = lists hold original ids
 
@@ -256,7 +261,7 @@ def render_point_cloud(
 def render_weights(
     scene: GaussianScene,
     cam,
-    mask_img: jnp.ndarray,
+    mask_img: Float[jnp.ndarray, "H W"],
     *,
     tile_px: int = 32,
     max_per_tile: int = 2048,
@@ -288,6 +293,7 @@ def render_weights(
         width=cam.width,
         tile_px=tile_px,
         max_per_tile=max_per_tile,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
     )
     order = bins.order
 

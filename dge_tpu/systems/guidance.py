@@ -30,6 +30,7 @@ from dge_tpu.diffusion import ddim, epipolar
 from dge_tpu.diffusion import ip2p as P
 from dge_tpu.models.layers import CrossViewState
 from dge_tpu.parallel.mesh import index_cameras, stack_cameras
+from dge_tpu.typing import Float
 
 
 @dataclasses.dataclass(frozen=True)
@@ -463,14 +464,14 @@ class DGEGuidance:
 
     def __call__(
         self,
-        rgb: jnp.ndarray,  # [B, H, W, 3] current renders in [0, 1]
-        cond_rgb: jnp.ndarray,  # [B, H, W, 3] original renders
-        text_emb_pos: jnp.ndarray,
-        text_emb_neg: jnp.ndarray,
+        rgb: "Float[jnp.ndarray, 'B H W 3']",  # current renders in [0, 1]
+        cond_rgb: "Float[jnp.ndarray, 'B H W 3']",  # original renders
+        text_emb_pos: "Float[jnp.ndarray, 'B S D']",
+        text_emb_neg: "Float[jnp.ndarray, 'B S D']",
         cams,
         rng: jax.Array,
         max_step: Optional[int] = None,
-    ) -> jnp.ndarray:
+    ) -> "Float[jnp.ndarray, 'B H W 3']":
         """Edit all views (guidance __call__, dge_guidance.py:480-569).
         Returns edited images at the input resolution."""
         b, h, w, _ = rgb.shape

@@ -237,6 +237,48 @@ class TestCLIPVision:
         assert np.allclose(s_same, 1.0, atol=1e-5)
 
 
+class TestChunkedAttention:
+    def test_online_softmax_matches_dense(self, rng):
+        """The flash-style key-block scan == exact softmax attention."""
+        from dge_tpu.models.layers import Attention
+
+        b, h, sq, sk, d = 2, 3, 37, 101, 8
+        q = rng.normal(size=(b, h, sq, d)).astype(np.float32)
+        k = rng.normal(size=(b, h, sk, d)).astype(np.float32)
+        v = rng.normal(size=(b, h, sk, d)).astype(np.float32)
+        import math as _math
+
+        scale = 1.0 / _math.sqrt(d)
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        want = np.einsum("bhqk,bhkd->bhqd", p, v)
+
+        for kc in (16, 101, 7, 512):
+            got = np.asarray(
+                Attention._attend_chunked(
+                    jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), d,
+                    k_chunk=kc,
+                )
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"k_chunk={kc}")
+
+    def test_attend_dispatches_to_chunked(self, rng, monkeypatch):
+        """Above the threshold _attend returns the same values through the
+        chunked path."""
+        from dge_tpu.models import layers as LY
+
+        b, s, heads, dh = 2, 64, 2, 8
+        q = jnp.asarray(rng.normal(size=(b, s, heads * dh)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, heads * dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, heads * dh)).astype(np.float32))
+        dense = np.asarray(LY.Attention._attend(q, k, v, heads, dh))
+        monkeypatch.setattr(LY.Attention, "CHUNKED_LOGITS_THRESHOLD", 1)
+        chunked = np.asarray(LY.Attention._attend(q, k, v, heads, dh))
+        np.testing.assert_allclose(chunked, dense, rtol=2e-4, atol=2e-5)
+
+
 class TestBF16:
     def test_unet_bf16_forward(self):
         """bf16 UNet (the TPU production dtype for the edit round)."""

@@ -196,3 +196,56 @@ class TestBinningVariants:
             c = int(a.counts[t])
             assert np.array_equal(ac[t, :c], order[bc[t, :c]]), t
         assert int(a.spill) == int(b.spill)
+
+    def test_compact_pair_sort_matches_full(self, rng):
+        """Prefix-sum compaction before the pair sort (the production path)
+        must reproduce the sort-everything stream exactly."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=256)
+        _, cam = make_test_camera(height=64, width=64)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        kw = dict(
+            height=64, width=64, tile_px=16, max_per_tile=64,
+            max_tiles_per_gaussian=16, max_pairs=2048,
+        )
+        a = binning._pair_sort(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            compact_sort=True, **kw,
+        )
+        b = binning._pair_sort(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            compact_sort=False, **kw,
+        )
+        assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
+        assert np.array_equal(np.asarray(a.starts), np.asarray(b.starts))
+        assert int(a.spill) == int(b.spill)
+        pa, pb = np.asarray(a.pair_ids), np.asarray(b.pair_ids)
+        # compare the valid stream ranges per tile (garbage beyond counts
+        # may differ)
+        for t in range(a.starts.shape[0]):
+            s, c = int(a.starts[t]), int(a.counts[t])
+            assert np.array_equal(pa[s:s + c], pb[s:s + c]), t
+
+    def test_pair_sort_overflow_spill_reported(self, rng):
+        """When the valid pairs exceed max_pairs, the compact path reports
+        the overflow in spill instead of silently dropping."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=256)
+        _, cam = make_test_camera(height=64, width=64)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        out = binning.bin_gaussians_pairs(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            height=64, width=64, tile_px=16, max_per_tile=64,
+            max_tiles_per_gaussian=16, max_pairs=32,
+        )
+        assert int(out.spill) > 0
