@@ -168,13 +168,13 @@ def bench_edit_round():
 
     _progress("edit: compiling VAE encode...")
     t0 = time.perf_counter()
-    latents = P.encode_images(models, rgb, r_enc)
+    latents = P.encode_images(models, rgb, r_enc, chunk=5)
     _sync(latents.astype(jnp.float32))
     enc_compile = time.perf_counter() - t0
     _progress(f"edit: VAE encode compile {enc_compile:.0f}s")
     t0 = time.perf_counter()
-    latents = P.encode_images(models, rgb, r_enc)
-    cond_lat = P.encode_cond_images(models, cond)
+    latents = P.encode_images(models, rgb, r_enc, chunk=5)
+    cond_lat = P.encode_cond_images(models, cond, chunk=5)
     _sync(latents.astype(jnp.float32))
     _sync(cond_lat.astype(jnp.float32))
     t_enc = time.perf_counter() - t0
@@ -216,12 +216,14 @@ def bench_edit_round():
         _sync(eps.astype(jnp.float32))
     t_step = (time.perf_counter() - t0) / iters
 
+    _progress("edit: compiling VAE decode...")
     t0 = time.perf_counter()
-    imgs = P.decode_latents(models, latents)
+    imgs = P.decode_latents(models, latents, chunk=5)
     _sync(imgs.astype(jnp.float32))
     dec_compile = time.perf_counter() - t0
+    _progress(f"edit: VAE decode compile {dec_compile:.0f}s")
     t0 = time.perf_counter()
-    imgs = P.decode_latents(models, latents)
+    imgs = P.decode_latents(models, latents, chunk=5)
     _sync(imgs.astype(jnp.float32))
     t_dec = time.perf_counter() - t0
 

@@ -85,30 +85,70 @@ def encode_text(models: IP2PModels, input_ids: jnp.ndarray) -> jnp.ndarray:
     return models.text_encoder.apply({"params": models.text_params}, input_ids)
 
 
-def encode_images(models: IP2PModels, rgb: jnp.ndarray, rng) -> jnp.ndarray:
+def _batched(fn, x, chunk: Optional[int]):
+    """Apply fn over leading-axis chunks (one compile per chunk shape).
+    Full-size VAE activations at 512^2 are ~1.3 GB per conv buffer per 20
+    images — batch-20 decode does not compile on one chip; chunking keeps
+    the per-call batch small with identical results."""
+    b = x.shape[0]
+    if not chunk or b <= chunk:
+        return fn(x)
+    outs = []
+    for i in range(0, b, chunk):
+        outs.append(fn(x[i : i + chunk]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def encode_images(
+    models: IP2PModels, rgb: jnp.ndarray, rng, chunk: Optional[int] = None
+) -> jnp.ndarray:
     """[B, H, W, 3] in [0,1] -> sampled scaled latents [B, H/8, W/8, 4]
     (encode_images, dge_guidance.py:190-199)."""
-    return models.vae.apply(
-        {"params": models.vae_params}, rgb * 2.0 - 1.0, rng,
-        method=models.vae.encode,
+    def enc(x, r):
+        return models.vae.apply(
+            {"params": models.vae_params}, x * 2.0 - 1.0, r,
+            method=models.vae.encode,
+        )
+
+    b = rgb.shape[0]
+    if not chunk or b <= chunk:
+        return enc(rgb, rng)
+    # independent posterior noise per chunk (fold_in keeps it deterministic
+    # in the chunking layout)
+    return jnp.concatenate(
+        [
+            enc(rgb[i : i + chunk], jax.random.fold_in(rng, i))
+            for i in range(0, b, chunk)
+        ],
+        axis=0,
     )
 
 
-def encode_cond_images(models: IP2PModels, rgb: jnp.ndarray) -> jnp.ndarray:
+def encode_cond_images(
+    models: IP2PModels, rgb: jnp.ndarray, chunk: Optional[int] = None
+) -> jnp.ndarray:
     """Conditioning latents: distribution mode, tripled [img, img, zeros]
     (encode_cond_images, dge_guidance.py:201-218)."""
-    lat = models.vae.apply(
-        {"params": models.vae_params}, rgb * 2.0 - 1.0, None,
-        method=models.vae.encode,
-    )
+    def enc(x):
+        return models.vae.apply(
+            {"params": models.vae_params}, x * 2.0 - 1.0, None,
+            method=models.vae.encode,
+        )
+
+    lat = _batched(enc, rgb, chunk)
     return jnp.concatenate([lat, lat, jnp.zeros_like(lat)], axis=0)
 
 
-def decode_latents(models: IP2PModels, latents: jnp.ndarray) -> jnp.ndarray:
-    img = models.vae.apply(
-        {"params": models.vae_params}, latents, method=models.vae.decode
-    )
-    return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+def decode_latents(
+    models: IP2PModels, latents: jnp.ndarray, chunk: Optional[int] = None
+) -> jnp.ndarray:
+    def dec(z):
+        img = models.vae.apply(
+            {"params": models.vae_params}, z, method=models.vae.decode
+        )
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    return _batched(dec, latents, chunk)
 
 
 def cfg_combine(

@@ -138,10 +138,17 @@ class DGESystem:
         self.view_list = list(range(len(self.cameras)))
         self.total_spill = 0
         self._jit_cache: Dict = {}
+        # gradient-free view renders (origin frames, edit-round inputs,
+        # validation) take the fast Pallas path on TPU
+        self._render_backend = (
+            "pallas_stream"
+            if jax.default_backend() in ("tpu", "axon")
+            else "jnp"
+        )
         self._render_jit = jax.jit(
             lambda s, c, bg: R.render(
                 s, c, bg, tile_px=cfg.tile_px, max_per_tile=cfg.max_per_tile,
-                chunk=cfg.chunk,
+                chunk=cfg.chunk, backend=self._render_backend,
             ).color
         )
 
@@ -600,6 +607,7 @@ class DGESystem:
                     lambda s, c, bg: R.render(
                         s, c, bg, tile_px=cfg.tile_px,
                         max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
+                        backend=self._render_backend,
                     ).color
                 )
                 log_fn(

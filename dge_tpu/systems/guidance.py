@@ -54,6 +54,9 @@ class GuidanceConfig:
     # long-side target of the pre-VAE resize (dge_guidance.py:505-511 uses
     # 512); tests lower it to keep latent sizes sane with tiny VAEs
     resize_target: int = 512
+    # VAE encode/decode batch: full-size decoder activations at 512^2 are
+    # ~1.3 GB per conv buffer per 20 views — chunk to fit one chip
+    vae_batch: int = 5
     # how the per-step camera batches run: "loop" (sequential, reference
     # semantics incl. 1-key first batch), "vmap" (all batches in one batched
     # UNet call, uniform 2-key state; batch 0 duplicates its closest key
@@ -300,11 +303,22 @@ class DGEGuidance:
         models = self.models
 
         if t < cfg.normal_attn_below_t:
-            # plain attention (use_normal_unet, dge_guidance.py:289-296)
-            te, cl = triple_for(jnp.arange(b))
-            inp = jnp.concatenate([P.triple(latents), cl], axis=-1)
-            eps = self._plain_fn()(models.unet_params, inp, jnp.asarray(t), te)
-            e_t, e_i, e_u = jnp.split(eps, 3, axis=0)
+            # plain attention (use_normal_unet, dge_guidance.py:289-296) —
+            # per camera batch like the reference loop (one batch-3*B call
+            # would be 4x the peak activation memory at full size)
+            eps_chunks = []
+            for i in range(n_batches):
+                sl = jnp.arange(i * cbs, min((i + 1) * cbs, b))
+                te, cl = triple_for(sl)
+                inp = jnp.concatenate([P.triple(latents[sl]), cl], axis=-1)
+                eps_chunks.append(
+                    self._plain_fn()(
+                        models.unet_params, inp, jnp.asarray(t), te
+                    )
+                )
+            e_t = jnp.concatenate([jnp.split(e, 3)[0] for e in eps_chunks], 0)
+            e_i = jnp.concatenate([jnp.split(e, 3)[1] for e in eps_chunks], 0)
+            e_u = jnp.concatenate([jnp.split(e, 3)[2] for e in eps_chunks], 0)
             return P.cfg_combine(
                 e_t, e_i, e_u, cfg.guidance_scale, cfg.condition_scale
             )
@@ -483,8 +497,12 @@ class DGEGuidance:
             rgb_r, cond_r = rgb, cond_rgb
 
         rng, r_enc = jax.random.split(rng)
-        latents = P.encode_images(self.models, rgb_r, r_enc)
-        cond_latents = P.encode_cond_images(self.models, cond_r)
+        latents = P.encode_images(
+            self.models, rgb_r, r_enc, chunk=self.cfg.vae_batch
+        )
+        cond_latents = P.encode_cond_images(
+            self.models, cond_r, chunk=self.cfg.vae_batch
+        )
         text_emb = jnp.concatenate(
             [text_emb_pos, text_emb_neg, text_emb_neg], axis=0
         )
@@ -492,7 +510,7 @@ class DGEGuidance:
         edited = self.edit_latents(
             text_emb, latents, cond_latents, t_start, cams, rng
         )
-        imgs = P.decode_latents(self.models, edited)
+        imgs = P.decode_latents(self.models, edited, chunk=self.cfg.vae_batch)
         if (rh, rw) != (h, w):
             imgs = jax.image.resize(imgs, (b, h, w, 3), "bilinear")
         return imgs
