@@ -279,12 +279,63 @@ def bin_gaussians_pairs(
         # cheaper) — keep the direct sort; compact_sort stays as an option
         # for backends with fast scatter
         compact_sort=False,
+        # bucketed emission: ~93% of Gaussians touch <= 4 tiles (p90=4,
+        # p99.9=6 at the 131k/512^2 operating point), so a flat
+        # [N, max_tiles] grid is ~90% sentinel rows that the sort still
+        # pays for. Small Gaussians emit into a 4-slot grid; the few large
+        # ones are compacted (one cheap 1-D sort over ids) into a
+        # capacity-N/8 grid with the full 32 slots — identical pair
+        # coverage, ~4x fewer sort rows.
+        emission="bucketed",
     )
+
+
+def _bucketed_pair_keys(
+    x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits, m1, m2, b2
+):
+    """Two-tier (tile, Gaussian) key emission; returns (keys, ids,
+    gauss_spill). Exact up to the same per-Gaussian m2 cap as the flat
+    grid, plus a b2 capacity on how many 'large' Gaussians exist (overflow
+    counted, never silent)."""
+    n = cnt.shape[0]
+    ids_all = jnp.arange(n, dtype=jnp.int32)
+    big = vis & (cnt > m1)
+
+    j1 = jnp.arange(m1, dtype=jnp.int32)
+    wsafe = jnp.maximum(w, 1)[:, None]
+    tx1 = x0[:, None] + j1[None, :] % wsafe
+    ty1 = y0[:, None] + j1[None, :] // wsafe
+    valid1 = (j1[None, :] < cnt[:, None]) & vis[:, None] & ~big[:, None]
+    tid1 = jnp.where(valid1, ty1 * tiles_x + tx1, num_tiles)
+    keys1 = (tid1 << depth_bits) | dq[:, None]
+    ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
+
+    # compact the large Gaussians' ids with one 1-D sort (scatter-free;
+    # big ids first, in id order)
+    slot_ids = jax.lax.sort(jnp.where(big, ids_all, n + ids_all))[:b2]
+    occupied = slot_ids < n
+    sid = jnp.where(occupied, slot_ids, 0)
+    j2 = jnp.arange(m2, dtype=jnp.int32)
+    wb_safe = jnp.maximum(w[sid], 1)[:, None]
+    tx2 = x0[sid][:, None] + j2[None, :] % wb_safe
+    ty2 = y0[sid][:, None] + j2[None, :] // wb_safe
+    valid2 = occupied[:, None] & (j2[None, :] < cnt[sid][:, None])
+    tid2 = jnp.where(valid2, ty2 * tiles_x + tx2, num_tiles)
+    keys2 = (tid2 << depth_bits) | dq[sid][:, None]
+    ids2 = jnp.broadcast_to(sid[:, None], keys2.shape)
+
+    keys = jnp.concatenate([keys1.reshape(-1), keys2.reshape(-1)])
+    ids = jnp.concatenate([ids1.reshape(-1), ids2.reshape(-1)])
+    expected = jnp.sum(jnp.where(big, jnp.minimum(cnt, m2), 0))
+    emitted = jnp.sum(valid2.astype(jnp.int32))
+    trunc = jnp.sum(jnp.where(big, jnp.maximum(cnt - m2, 0), 0))
+    return keys, ids, (expected - emitted) + trunc
 
 
 def _pair_sort(
     mean2d, depth, radius, visible, *, height, width, tile_px, max_per_tile,
-    max_tiles_per_gaussian, max_pairs, compact_sort,
+    max_tiles_per_gaussian, max_pairs, compact_sort, emission="flat",
+    small_slots=4, big_capacity=None,
 ):
     """Pair-stream binning body. ``compact_sort=True`` scatters the valid
     (tile, Gaussian) pairs into a max_pairs-sized buffer BEFORE sorting
@@ -316,6 +367,35 @@ def _pair_sort(
     w = x1 - x0
     h = y1 - y0
     cnt = w * h
+
+    if emission == "bucketed":
+        # p99.9 of tiles-touched is ~6 at the 131k/512^2 operating point;
+        # the big grid holds the tail (capacity n/32 by default, overflow
+        # counted in spill)
+        b2 = big_capacity or (1 << max(int(n // 32 - 1).bit_length(), 6))
+        keys, ids, gauss_spill = _bucketed_pair_keys(
+            x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits,
+            m1=small_slots, m2=m, b2=b2,
+        )
+        keys, ids = jax.lax.sort((keys, ids), num_keys=1, is_stable=True)
+        tids = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
+        starts = jnp.searchsorted(keys, tids).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            keys, tids + (1 << depth_bits)
+        ).astype(jnp.int32)
+        raw = ends - starts
+        counts = jnp.minimum(raw, max_per_tile)
+        counts = jnp.minimum(counts, jnp.maximum(max_pairs - starts, 0))
+        spill = jnp.sum(raw - counts) + gauss_spill
+        return PairBins(
+            pair_ids=ids[:max_pairs],
+            starts=starts,
+            counts=counts.astype(jnp.int32),
+            spill=spill.astype(jnp.int32),
+            tiles_x=tiles_x,
+            tiles_y=tiles_y,
+        )
+
     j = jnp.arange(m, dtype=jnp.int32)
     wsafe = jnp.maximum(w, 1)[:, None]
     tx = x0[:, None] + j[None, :] % wsafe

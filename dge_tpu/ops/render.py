@@ -265,6 +265,7 @@ def render_weights(
     *,
     tile_px: int = 32,
     max_per_tile: int = 2048,
+    max_tiles_per_gaussian: int = 32,
     chunk: int = 64,
 ):
     """Back-project a per-pixel mask to per-Gaussian (weights, hit counts).

@@ -231,6 +231,44 @@ class TestBinningVariants:
             s, c = int(a.starts[t]), int(a.counts[t])
             assert np.array_equal(pa[s:s + c], pb[s:s + c]), t
 
+    def test_bucketed_emission_matches_flat(self, rng):
+        """Two-tier key emission (small 4-slot grid + compacted large grid)
+        covers exactly the same pairs as the flat [N, M] grid; order may
+        differ only between equal [tile|qdepth] keys."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=256)
+        _, cam = make_test_camera(height=64, width=64)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        kw = dict(
+            height=64, width=64, tile_px=16, max_per_tile=256,
+            max_tiles_per_gaussian=16, max_pairs=4096,
+        )
+        a = binning._pair_sort(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            compact_sort=False, emission="bucketed", big_capacity=256, **kw,
+        )
+        b = binning._pair_sort(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            compact_sort=False, emission="flat", **kw,
+        )
+        assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
+        assert int(a.spill) == int(b.spill)
+        pa, pb = np.asarray(a.pair_ids), np.asarray(b.pair_ids)
+        depth = np.asarray(prep.depth)
+        for t in range(a.counts.shape[0]):
+            ca = int(a.counts[t])
+            sa, sb = int(a.starts[t]), int(b.starts[t])
+            ia, ib = pa[sa:sa + ca], pb[sb:sb + ca]
+            assert sorted(ia) == sorted(ib), t  # same pair set
+            # both streams are depth-ordered within the tile
+            assert (np.diff(depth[ia]) > -1e-4).all(), t
+            assert (np.diff(depth[ib]) > -1e-4).all(), t
+
     def test_pair_sort_overflow_spill_reported(self, rng):
         """When the valid pairs exceed max_pairs, the compact path reports
         the overflow in spill instead of silently dropping."""

@@ -29,14 +29,19 @@ def main():
     )
     bg = jnp.zeros(3)
 
+    def digest(out):
+        # device-side reduce + scalar transfer (a full-array np.asarray
+        # would drag MBs through the relay and swamp the timing)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     def timeit(name, fn, *args, iters=10):
         out = fn(*args)
-        jax.block_until_ready(out)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+        digest(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+        digest(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"{name}: {dt:.2f} ms", flush=True)
         return out
@@ -69,8 +74,8 @@ def main():
 
     kern = jax.jit(lambda pb, p: pallas_composite.composite_pairs_pallas(
         pb.pair_ids, pb.starts, pb.counts, p.mean2d, p.conic, p.rgb,
-        p.depth, p.opacity, height=512, width=512, tiles_x=pb.tiles_x,
-        tiles_y=pb.tiles_y, tile_px=32, bg=bg, max_per_tile=2048, chunk=128))
+        p.depth, p.opacity, height=512, width=512, tiles_x=16,
+        tiles_y=16, tile_px=32, bg=bg, max_per_tile=2048, chunk=128))
     timeit("gather+kernel", kern, pb, prep)
 
     # end-to-end fps at M variants
