@@ -206,6 +206,42 @@ def load_ip2p_checkpoint(root: str) -> Dict[str, Dict]:
     }
 
 
+def load_clip_checkpoint(root: str) -> Dict[str, Dict]:
+    """Load a transformers CLIPModel checkpoint directory (e.g.
+    openai/clip-vit-large-patch14) into {vision, text} flax param trees for
+    the edit-quality metrics (ClipSimilarity; reference
+    threestudio/utils/clip_metrics.py loads the same tower via clip.load)."""
+    import os
+
+    sd = None
+    for fname in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(root, fname)
+        if os.path.exists(p):
+            if p.endswith(".safetensors"):
+                from safetensors.numpy import load_file
+
+                sd = load_file(p)
+            else:
+                import torch
+
+                sd = torch.load(p, map_location="cpu", weights_only=True)
+            break
+    if sd is None:
+        raise FileNotFoundError(f"no CLIP checkpoint under {root}")
+    vision_sd = {
+        k: v for k, v in sd.items()
+        if k.startswith("vision_model.") or k == "visual_projection.weight"
+    }
+    text_sd = {
+        k: v for k, v in sd.items()
+        if k.startswith("text_model.") or k == "text_projection.weight"
+    }
+    return {
+        "vision": convert_clip_vision(vision_sd),
+        "text": convert_clip_text(text_sd),
+    }
+
+
 def convert_vgg16_torchvision(state_dict: Dict[str, Any]) -> Dict:
     """torchvision VGG16 ``features.*`` -> models.lpips VGG16Features params
     (conv_0..conv_12)."""

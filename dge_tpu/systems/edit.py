@@ -553,7 +553,7 @@ class DGESystem:
     # ---- full edit loop ----
     def run(self, rng: jax.Array, steps: Optional[int] = None, log_every=50,
             log_fn=print, start_step: int = 0, ckpt_dir: Optional[str] = None,
-            val_dir: Optional[str] = None):
+            val_dir: Optional[str] = None, metrics=None):
         cfg = self.cfg
         steps = steps or cfg.max_steps
         if not self.origin_frames:
@@ -615,6 +615,12 @@ class DGESystem:
                     f"max_per_tile to {cfg.max_per_tile}"
                 )
                 spill_streak = 0
+            if metrics is not None:
+                metrics.log(
+                    step,
+                    {f"train/{k}": v for k, v in aux.items()
+                     if isinstance(v, (int, float))},
+                )
             if step % log_every == 0:
                 psnr = f" psnr={aux['psnr']:.2f}" if "psnr" in aux else ""
                 log_fn(f"step {step}: loss={aux['loss']:.4f}{psnr}")

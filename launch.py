@@ -36,6 +36,16 @@ def parse_args(argv=None):
     mode.add_argument("--test", action="store_true")
     mode.add_argument("--render", action="store_true")
     mode.add_argument("--fit", action="store_true")
+    mode.add_argument(
+        "--validate", action="store_true",
+        help="render every capture view + PSNR/SSIM/LPIPS metrics.json "
+        "(reference --validate / gaussiansplatting metrics.py)",
+    )
+    mode.add_argument(
+        "--export", action="store_true",
+        help="export artifacts from a PLY: turntable orbit video + a copy "
+        "of the scene (the viewer-free --export analog)",
+    )
     p.add_argument("--gs_source", type=str, default=None, help="pretrained PLY")
     p.add_argument("--source", type=str, default=None, help="COLMAP scene dir")
     p.add_argument("--out", type=str, default="outputs")
@@ -121,13 +131,20 @@ def main(argv=None):
 
     if args.render or args.test:
         run_render(cfg, gs_source, source, trial_dir)
+    elif args.validate:
+        run_validate(cfg, gs_source, source, trial_dir)
+    elif args.export:
+        run_export(cfg, gs_source, trial_dir)
     elif args.fit:
         run_fit(cfg, source, trial_dir, args.seed)
     elif args.train:
         run_edit(cfg, gs_source, source, trial_dir, args.seed,
                  smoke=args.smoke, resume=args.resume, out_root=args.out)
     else:
-        log.error("choose a mode: --train / --test / --render / --fit")
+        log.error(
+            "choose a mode: --train / --test / --render / --fit / "
+            "--validate / --export"
+        )
         sys.exit(2)
 
 
@@ -179,6 +196,37 @@ def run_render(cfg, gs_source, source, trial_dir):
     log.info("wrote %d renders to %s", len(frames), out_dir)
 
 
+def run_validate(cfg, gs_source, source, trial_dir):
+    """Render every capture view and write PSNR/SSIM/LPIPS metrics.json
+    (gaussiansplatting/metrics.py:36-93 analog for one scene)."""
+    import tools.full_eval as FE
+
+    FE.main([
+        "--pairs", f"{gs_source}:{source}",
+        "--out", os.path.join(trial_dir, "eval"),
+        "--height", str(cfg.get("data", {}).get("height", 512)),
+        "--width", str(cfg.get("data", {}).get("width", 512)),
+    ])
+
+
+def run_export(cfg, gs_source, trial_dir):
+    """Artifact export from a PLY: turntable orbit video + scene copy (the
+    SIBR-viewer-free --export analog)."""
+    import shutil
+
+    import tools.orbit_video as OV
+
+    data_cfg = cfg.get("data", {})
+    out_mp4 = os.path.join(trial_dir, "orbit.mp4")
+    OV.main([
+        gs_source, out_mp4,
+        "--height", str(data_cfg.get("height", 512)),
+        "--width", str(data_cfg.get("width", 512)),
+    ])
+    shutil.copy(gs_source, os.path.join(trial_dir, "scene.ply"))
+    log.info("exported orbit video + scene.ply to %s", trial_dir)
+
+
 def run_fit(cfg, source, trial_dir, seed):
     """Config-2: vanilla 3DGS fitting against the capture's images
     (gaussiansplatting/train.py analog)."""
@@ -216,6 +264,9 @@ def run_fit(cfg, source, trial_dir, seed):
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     bg = jnp.zeros(3)
+    from dge_tpu.utils.logger import MetricsLogger
+
+    metrics = MetricsLogger(trial_dir, tensorboard=True)
     for step in range(ocfg.max_steps):
         i = int(rng.integers(len(cams)))
         scene, opt_state, fit_state, aux = loop.train_step(
@@ -228,11 +279,18 @@ def run_fit(cfg, source, trial_dir, seed):
         scene, opt_state, fit_state = loop.maybe_housekeep(
             scene, opt_state, fit_state
         )
+        if step % 10 == 0:
+            metrics.log(step, {
+                "train/loss": float(aux["loss"]),
+                "train/psnr": float(aux["psnr"]),
+                "train/n_alive": int(scene.n_alive),
+            })
         if step % 100 == 0:
             log.info(
                 "step %d loss %.4f psnr %.2f n=%d",
                 step, aux["loss"], aux["psnr"], int(scene.n_alive),
             )
+    metrics.close()
     G.save_ply(scene, os.path.join(trial_dir, "point_cloud.ply"))
 
 
@@ -374,13 +432,81 @@ def run_edit(cfg, gs_source, source, trial_dir, seed, smoke=False,
     if resume:
         start_step = system.restore_state(resume)
         log.info("resumed from %s at step %d", resume, start_step)
+    from dge_tpu.utils.logger import MetricsLogger
+
+    metrics = MetricsLogger(trial_dir, tensorboard=True)
     final = system.run(
         jax.random.PRNGKey(seed), log_fn=log.info, start_step=start_step,
         ckpt_dir=os.path.join(trial_dir, "ckpts"),
         val_dir=os.path.join(trial_dir, "val"),
+        metrics=metrics,
     )
+    metrics.close()
     G.save_ply(final, os.path.join(trial_dir, "last.ply"))
     log.info("saved edited scene to %s/last.ply", trial_dir)
+
+    # CLIP edit-quality metrics on the test pass (clip_metrics.py:33-50):
+    # similarity of (original, edited) renders to (source, edit) prompts
+    _clip_edit_metrics(sys_cfg, system, trial_dir)
+
+
+def _clip_edit_metrics(sys_cfg, system, trial_dir):
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = sys_cfg.get("clip_checkpoint")
+    if not (ckpt and os.path.isdir(ckpt)):
+        log.info(
+            "no CLIP checkpoint (system.clip_checkpoint) — skipping CLIP "
+            "edit metrics (scores from random towers are meaningless)"
+        )
+        return
+    from dge_tpu.diffusion import tokenizer as T
+    from dge_tpu.diffusion.weights import load_clip_checkpoint
+    from dge_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from dge_tpu.models.clip_vision import (
+        CLIPVisionConfig,
+        CLIPVisionModel,
+        ClipSimilarity,
+    )
+    from dge_tpu.utils import saving
+
+    params = load_clip_checkpoint(ckpt)
+    vision = CLIPVisionModel(CLIPVisionConfig())
+    text = CLIPTextModel(CLIPTextConfig(projection_dim=768))
+    tok = T.load_tokenizer(ckpt)
+    sim = ClipSimilarity(
+        vision,
+        params["vision"],
+        lambda ids: text.apply({"params": params["text"]}, ids),
+        tok,
+        text_pooled_fn=lambda ids: text.apply(
+            {"params": params["text"]}, ids, return_pooled=True
+        )[1],
+    )
+    import numpy as np
+
+    vids = sorted(system.origin_frames)
+    src = np.stack([system.origin_frames[v] for v in vids])
+    bg = jnp.zeros(3)
+    edited = np.stack([
+        np.asarray(system._render_jit(system.scene, system.cameras[v], bg))
+        for v in vids
+    ])
+    prompt = sys_cfg.get("prompt", "")
+    src_prompt = sys_cfg.get("source_prompt", "a photo")
+    s_src, s_edit, s_dir, s_img = sim(
+        src, edited, [src_prompt] * len(vids), [prompt] * len(vids)
+    )
+    out = {
+        "clip_sim_source": float(np.mean(s_src)),
+        "clip_sim_edit": float(np.mean(s_edit)),
+        "clip_sim_direction": float(np.mean(s_dir)),
+        "clip_sim_image": float(np.mean(s_img)),
+        "n_views": len(vids),
+    }
+    saving.save_json(os.path.join(trial_dir, "clip_metrics.json"), out)
+    log.info("CLIP edit metrics: %s", out)
 
 
 if __name__ == "__main__":
