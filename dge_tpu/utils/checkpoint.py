@@ -16,6 +16,30 @@ import jax
 import numpy as np
 
 
+def _pack_zero_size(tree):
+    """Orbax refuses zero-size arrays (e.g. features_rest at SH degree 0 is
+    [cap, 0, 3], and its Adam moments mirror it) — swap them for 1-element
+    placeholders of the same dtype; restore puts the template's zero-size
+    arrays back."""
+    import jax.numpy as jnp
+
+    def pack(x):
+        if hasattr(x, "size") and x.size == 0:
+            return jnp.zeros((1,), x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(pack, tree)
+
+
+def _unpack_zero_size(restored, template):
+    def unpack(r, t):
+        if hasattr(t, "size") and t.size == 0:
+            return t
+        return r
+
+    return jax.tree_util.tree_map(unpack, restored, template)
+
+
 def save_checkpoint(path: str, scene, opt_state, fit_state, extra: Optional[Dict] = None):
     """Write a full training checkpoint (capture() analog)."""
     import orbax.checkpoint as ocp
@@ -23,11 +47,11 @@ def save_checkpoint(path: str, scene, opt_state, fit_state, extra: Optional[Dict
     import json
 
     path = os.path.abspath(path)
-    payload = {
+    payload = _pack_zero_size({
         "scene": scene,
         "opt_state": opt_state,
         "fit_state": fit_state,
-    }
+    })
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     meta = {"max_sh_degree": scene.max_sh_degree, **(extra or {})}
@@ -44,13 +68,14 @@ def restore_checkpoint(path: str, scene_template, opt_state_template, fit_state_
     import json
 
     path = os.path.abspath(path)
-    target = {
+    template = {
         "scene": scene_template,
         "opt_state": opt_state_template,
         "fit_state": fit_state_template,
     }
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, target)
+        restored = ckptr.restore(path, _pack_zero_size(template))
+    restored = _unpack_zero_size(restored, template)
     meta = {}
     if os.path.exists(path + "_meta.json"):
         with open(path + "_meta.json") as f:

@@ -357,14 +357,28 @@ def run_edit(cfg, gs_source, source, trial_dir, seed, smoke=False,
             "the pipeline with random weights (noise output)."
         )
         sys.exit(2)
-    models = ip2p.build_models(params=params)
+    # system.model_size="tiny" builds the small test configs — the whole
+    # CLI edit path becomes runnable on CPU (e2e tests / smoke)
+    if sys_cfg.get("model_size", "full") == "tiny":
+        from dge_tpu.models.clip_text import CLIPTextConfig
+        from dge_tpu.models.unet import UNetConfig
+        from dge_tpu.models.vae import VAEConfig
 
-    tok = T.load_tokenizer(
-        os.path.join(ckpt_dir, "tokenizer") if ckpt_dir else None
-    )
-    if ckpt_dir is None or not os.path.isdir(ckpt_dir):
-        log.warning("no tokenizer vocabulary — HashTokenizer ids are "
-                    "meaningless (smoke only)")
+        text_cfg = CLIPTextConfig.tiny()
+        models = ip2p.build_models(
+            UNetConfig.tiny(), VAEConfig.tiny(), text_cfg, params=params
+        )
+        tok = T.HashTokenizer(
+            vocab_size=text_cfg.vocab_size, max_length=text_cfg.max_length
+        )
+    else:
+        models = ip2p.build_models(params=params)
+        tok = T.load_tokenizer(
+            os.path.join(ckpt_dir, "tokenizer") if ckpt_dir else None
+        )
+        if ckpt_dir is None or not os.path.isdir(ckpt_dir):
+            log.warning("no tokenizer vocabulary — HashTokenizer ids are "
+                        "meaningless (smoke only)")
 
     # perceptual loss: always part of the refit objective (DGE.py:637-683);
     # converted VGG16 weights when configured, random-init multi-scale

@@ -107,6 +107,49 @@ def test_launch_render_matches_capture(synthetic_capture, tmp_path):
     assert psnr > 30.0, psnr
 
 
+def test_launch_train_smoke(synthetic_capture, tmp_path):
+    """The FULL CLI edit path end to end on CPU with tiny models: prompt
+    processing, guidance edit round, refit with perceptual loss, edit
+    cache, checkpoints, validation artifacts, metrics JSONL."""
+    import launch
+
+    cfg = os.path.join(str(tmp_path), "train_cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "name: t\ntag: train\n"
+            f"data:\n  height: {synthetic_capture['h']}\n"
+            f"  width: {synthetic_capture['w']}\n  max_view_num: 4\n"
+            "system:\n  model_size: tiny\n  prompt: make it snowy\n"
+            "  guidance:\n    camera_batch_size: 2\n    diffusion_steps: 2\n"
+            "    resize_target: 64\n"
+            "  edit:\n    max_steps: 4\n    camera_update_per_step: 100\n"
+            "    densify_from: 1000\n    tile_px: 16\n    max_per_tile: 128\n"
+            "    chunk: 16\n    camera_batch_size: 2\n"
+        )
+    launch.main(
+        [
+            "--train", "--smoke",
+            "--gs_source", synthetic_capture["ply"],
+            "--source", synthetic_capture["root"],
+            "--out", str(tmp_path),
+            "--config", cfg,
+        ]
+    )
+    trial = None
+    for dirpath, dirnames, filenames in os.walk(tmp_path):
+        if "last.ply" in filenames:
+            trial = dirpath
+    assert trial is not None
+    assert os.path.exists(os.path.join(trial, "SMOKE_ONLY.txt"))
+    assert os.path.exists(os.path.join(trial, "metrics.jsonl"))
+    assert _find(trial, "val") or any(
+        f.startswith("it") for f in os.listdir(os.path.join(trial, "val"))
+    )
+    assert _find(trial, "ckpts")
+    # persistent edit cache exists outside the trial dir
+    assert _find(tmp_path, "edit_cache")
+
+
 def _mini_cfg(tmp_path, cap):
     p = os.path.join(str(tmp_path), "cfg.yaml")
     with open(p, "w") as f:
