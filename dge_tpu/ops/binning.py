@@ -258,6 +258,7 @@ def bin_gaussians_pairs(
     max_per_tile: int = 2048,
     max_tiles_per_gaussian: int = 32,
     max_pairs: int = 0,
+    big_capacity: int = 0,
 ) -> PairBins:
     """Same duplicate-and-sort as bin_gaussians, but returning the sorted
     pair stream truncated to ``max_pairs`` (valid pairs sort before the
@@ -266,7 +267,10 @@ def bin_gaussians_pairs(
 
     ``max_pairs=0`` auto-scales the cap with the scene: max(2^18, 4N)
     rounded up to a power of two — 131k Gaussians get 2^19 so real scenes
-    don't silently truncate the stream at the old fixed 2^18."""
+    don't silently truncate the stream at the old fixed 2^18. All caps
+    (max_pairs, max_per_tile, big_capacity for the bucketed emission)
+    report overflow in ``spill``; FitLoop.react_to_spill grows them when
+    spill persists."""
     n = mean2d.shape[0]
     if max_pairs <= 0:
         max_pairs = max(1 << 18, 1 << int(4 * n - 1).bit_length())
@@ -274,6 +278,7 @@ def bin_gaussians_pairs(
         mean2d, depth, radius, visible, height=height, width=width,
         tile_px=tile_px, max_per_tile=max_per_tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian, max_pairs=max_pairs,
+        big_capacity=big_capacity or None,
         # compaction-by-scatter measured 2.5x SLOWER end to end on TPU
         # (XLA scatter serializes 4.2M updates; the big sort it avoids is
         # cheaper) — keep the direct sort; compact_sort stays as an option
@@ -300,18 +305,25 @@ def _bucketed_pair_keys(
     n = cnt.shape[0]
     ids_all = jnp.arange(n, dtype=jnp.int32)
     big = vis & (cnt > m1)
+    # big Gaussians beyond the b2 slot capacity degrade gracefully: they
+    # keep their first m1 tiles in the small grid (dense densified scenes
+    # can have far more than n/32 multi-tile Gaussians; dropping them
+    # entirely corrupted training at the 256^2 fit operating point)
+    rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    overflowed = big & (rank >= b2)
 
     j1 = jnp.arange(m1, dtype=jnp.int32)
     wsafe = jnp.maximum(w, 1)[:, None]
     tx1 = x0[:, None] + j1[None, :] % wsafe
     ty1 = y0[:, None] + j1[None, :] // wsafe
-    valid1 = (j1[None, :] < cnt[:, None]) & vis[:, None] & ~big[:, None]
+    in_small = vis & (~big | overflowed)
+    valid1 = (j1[None, :] < cnt[:, None]) & in_small[:, None]
     tid1 = jnp.where(valid1, ty1 * tiles_x + tx1, num_tiles)
     keys1 = (tid1 << depth_bits) | dq[:, None]
     ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
 
-    # compact the large Gaussians' ids with one 1-D sort (scatter-free;
-    # big ids first, in id order)
+    # compact the (non-overflowed) large Gaussians' ids with one 1-D sort
+    # (scatter-free; big ids first, in id order)
     slot_ids = jax.lax.sort(jnp.where(big, ids_all, n + ids_all))[:b2]
     occupied = slot_ids < n
     sid = jnp.where(occupied, slot_ids, 0)
@@ -326,10 +338,10 @@ def _bucketed_pair_keys(
 
     keys = jnp.concatenate([keys1.reshape(-1), keys2.reshape(-1)])
     ids = jnp.concatenate([ids1.reshape(-1), ids2.reshape(-1)])
-    expected = jnp.sum(jnp.where(big, jnp.minimum(cnt, m2), 0))
-    emitted = jnp.sum(valid2.astype(jnp.int32))
-    trunc = jnp.sum(jnp.where(big, jnp.maximum(cnt - m2, 0), 0))
-    return keys, ids, (expected - emitted) + trunc
+    slotted = big & ~overflowed
+    spill = jnp.sum(jnp.where(slotted, jnp.maximum(cnt - m2, 0), 0)) + \
+        jnp.sum(jnp.where(overflowed, jnp.maximum(cnt - m1, 0), 0))
+    return keys, ids, spill
 
 
 def _pair_sort(

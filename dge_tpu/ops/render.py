@@ -43,6 +43,8 @@ def render(
     tile_px: int = 32,
     max_per_tile: int = 2048,
     max_tiles_per_gaussian: int = 32,
+    max_pairs: int = 0,
+    big_capacity: int = 0,
     scale_modifier: float = 1.0,
     override_color: Optional[Float[jnp.ndarray, "N 3"]] = None,
     mean2d_offset: Optional[Float[jnp.ndarray, "N 2"]] = None,
@@ -85,6 +87,8 @@ def render(
             tile_px=tile_px,
             max_per_tile=max_per_tile,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_pairs=max_pairs,
+            big_capacity=big_capacity,
         )
         color, depth, final_t = pallas_backward.stream_composite(
             mean2d,
@@ -126,6 +130,8 @@ def render(
             tile_px=tile_px,
             max_per_tile=max_per_tile,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_pairs=max_pairs,
+            big_capacity=big_capacity,
         )
         color, depth, final_t = pallas_composite.composite_pairs_pallas(
             pb.pair_ids,

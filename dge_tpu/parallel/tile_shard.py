@@ -41,6 +41,16 @@ def make_tile_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (TILE_AXIS,))
 
 
+def make_gauss_tile_mesh(n_gauss: int, n_tile: int) -> Mesh:
+    """2-axis mesh: Gaussian blocks x tile bands."""
+    devs = jax.devices()
+    assert len(devs) >= n_gauss * n_tile, (len(devs), n_gauss, n_tile)
+    return Mesh(
+        np.array(devs[: n_gauss * n_tile]).reshape(n_gauss, n_tile),
+        ("gauss", TILE_AXIS),
+    )
+
+
 def make_view_tile_mesh(n_view: int, n_tile: int) -> Mesh:
     """2-axis mesh: camera views x tile bands (the full scaling story —
     the edit round shards views, each view's render shards tiles)."""
@@ -140,6 +150,89 @@ def make_tile_sharded_render(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
+    return jax.jit(fn)
+
+
+def make_gauss_tile_render(
+    mesh: Mesh,
+    height: int,
+    width: int,
+    *,
+    tile_px: int = 32,
+    max_per_tile: int = 2048,
+    chunk: int = 64,
+    gauss_axis: str = "gauss",
+    tile_axis: str = TILE_AXIS,
+):
+    """2-axis (gauss x tile) single-image render: Gaussian parameter blocks
+    shard over ``gauss`` (per-Gaussian preprocess is local, compact
+    screen-space outputs all_gather over ICI — parallel/gauss_shard.py's
+    scheme), and each device composites only its tile-row band. Completes
+    the SURVEY §2.6 story: one 512^2 render uses G x T chips with both
+    parameter storage and pixel work distributed.
+
+    scene.capacity must divide mesh.shape[gauss_axis]; height must split
+    into whole tile-row bands over mesh.shape[tile_axis]."""
+    n_tile = mesh.shape[tile_axis]
+    n_gauss = mesh.shape[gauss_axis]
+    if height % (n_tile * tile_px) != 0:
+        raise ValueError("height must split into whole tile-row bands")
+    band_px = height // n_tile
+
+    def shard_fn(scene, cam, bg):
+        # local preprocess on this device's Gaussian block (the scene
+        # arrays arrive sharded over gauss, replicated over tile)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        full = tuple(
+            jax.lax.all_gather(x, gauss_axis, tiled=True) for x in prep
+        )
+        prep = projection.Preprocessed(*full)
+        i = jax.lax.axis_index(tile_axis)
+        y_off = (i * band_px).astype(jnp.float32)
+        shift = jnp.stack([jnp.zeros((), jnp.float32), y_off])
+        mean2d = prep.mean2d - shift[None, :]
+        bins = binning.bin_gaussians(
+            mean2d, prep.depth, prep.radius, prep.visible,
+            height=band_px, width=cam.width, tile_px=tile_px,
+            max_per_tile=max_per_tile,
+        )
+        out = composite.composite(
+            bins.lists, bins.counts, mean2d, prep.conic, prep.rgb,
+            prep.depth, prep.opacity, height=band_px, width=cam.width,
+            tiles_x=bins.tiles_x, tiles_y=bins.tiles_y, tile_px=tile_px,
+            bg=bg, spill=bins.spill, chunk=chunk,
+        )
+        spill = jax.lax.psum(out.spill, (gauss_axis, tile_axis)) // n_gauss
+        return out.color, out.depth, 1.0 - out.final_T, spill
+
+    # scene leaves with a leading capacity axis shard over gauss; camera
+    # and bg replicate. CameraArrays' static ints aren't pytree leaves.
+    def scene_spec(scene):
+        import jax.tree_util as jtu
+
+        cap = scene.capacity
+
+        def spec(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+                return P(gauss_axis)
+            return P()
+
+        return jtu.tree_map(spec, scene)
+
+    def fn(scene, cam, bg):
+        shard = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(scene_spec(scene), P(), P()),
+            out_specs=(P(tile_axis), P(tile_axis), P(tile_axis), P()),
+            check_vma=False,
+        )
+        return shard(scene, cam, bg)
+
     return jax.jit(fn)
 
 

@@ -559,7 +559,6 @@ class DGESystem:
         if not self.origin_frames:
             self.render_all_views()
         self.update_mask()
-        spill_streak = 0
         # all per-step randomness is derived by fold_in(key, step) so a
         # resumed run replays the exact uninterrupted stream
         for step in range(start_step, steps):
@@ -592,29 +591,29 @@ class DGESystem:
                     )
                 ]
                 aux = self.fit_step(vid, r_fit)
-            # react to binning spill: persistent drops mean max_per_tile is
-            # too small for the scene — grow it (re-jit) instead of silently
-            # rendering/fitting against truncated tile lists
+            # react to binning spill: persistent drops mean the caps are
+            # too small for the scene — grow them (re-jit) instead of
+            # silently fitting against truncated tile lists
             spill = int(aux.get("spill", 0))
             self.total_spill += spill
-            spill_streak = spill_streak + 1 if spill > 0 else 0
-            if spill_streak >= 3 and cfg.max_per_tile < 16384:
-                cfg.max_per_tile *= 2
-                self.loop.max_per_tile = cfg.max_per_tile
-                self.loop.__post_init__()  # rebuild the jitted train step
+            if self.loop.react_to_spill(spill, self.scene.capacity):
+                cfg.max_per_tile = self.loop.max_per_tile
                 self._jit_cache.clear()
                 self._render_jit = jax.jit(
                     lambda s, c, bg: R.render(
                         s, c, bg, tile_px=cfg.tile_px,
-                        max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
-                        backend=self._render_backend,
+                        max_per_tile=cfg.max_per_tile,
+                        max_pairs=self.loop.max_pairs,
+                        big_capacity=self.loop.big_capacity,
+                        chunk=cfg.chunk, backend=self._render_backend,
                     ).color
                 )
                 log_fn(
-                    f"step {step}: binning spill persisted — growing "
-                    f"max_per_tile to {cfg.max_per_tile}"
+                    f"step {step}: binning spill persisted — caps grown to "
+                    f"max_per_tile={cfg.max_per_tile} "
+                    f"max_pairs={self.loop.max_pairs} "
+                    f"big_capacity={self.loop.big_capacity}"
                 )
-                spill_streak = 0
             if metrics is not None:
                 metrics.log(
                     step,

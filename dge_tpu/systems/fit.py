@@ -61,6 +61,8 @@ def make_train_step(
     lambda_perceptual: float = 0.0,
     tile_px: int = 32,
     max_per_tile: int = 2048,
+    max_pairs: int = 0,
+    big_capacity: int = 0,
     chunk: int = 64,
     backend: Optional[str] = None,
 ):
@@ -81,6 +83,8 @@ def make_train_step(
             bg,
             tile_px=tile_px,
             max_per_tile=max_per_tile,
+            max_pairs=max_pairs,
+            big_capacity=big_capacity,
             mean2d_offset=mean2d_offset,
             chunk=chunk,
             backend=backend,
@@ -213,15 +217,19 @@ class FitLoop:
     spatial_lr_scale: float = 1.0
     tile_px: int = 32
     max_per_tile: int = 2048
+    max_pairs: int = 0  # 0 = auto (binning scales with capacity)
+    big_capacity: int = 0  # 0 = auto (bucketed emission default)
     chunk: int = 64
     grow_threshold: float = 0.9
     lambda_l1: float = 1.0
     perceptual_fn: Optional[Callable] = None
     lambda_perceptual: float = 0.0
     backend: Optional[str] = None  # None = auto (pallas_train on TPU)
+    spill_patience: int = 3  # consecutive spilling steps before caps grow
 
     def __post_init__(self):
         self.optimizer = O.make_optimizer(self.cfg, self.spatial_lr_scale)
+        self._spill_streak = 0
         self.train_step = make_train_step(
             self.optimizer,
             lambda_dssim=self.cfg.lambda_dssim,
@@ -230,9 +238,44 @@ class FitLoop:
             lambda_perceptual=self.lambda_perceptual,
             tile_px=self.tile_px,
             max_per_tile=self.max_per_tile,
+            max_pairs=self.max_pairs,
+            big_capacity=self.big_capacity,
             chunk=self.chunk,
             backend=self.backend,
         )
+
+    def react_to_spill(self, spill: int, capacity: int) -> bool:
+        """Adaptive binning caps: persistent spill means the scene outgrew
+        max_per_tile / the pair stream / the bucketed big-Gaussian slots —
+        double all three and rebuild the jitted step (re-jit boundary).
+        Training against truncated tile lists silently corrupts the scene
+        (hit in practice: a densified 256^2 fit trained at spill ~200k
+        evaluated 18 dB below its train PSNR). Returns True when caps
+        changed."""
+        if spill <= 0:
+            self._spill_streak = 0
+            return False
+        self._spill_streak += 1
+        if self._spill_streak < self.spill_patience:
+            return False
+        self._spill_streak = 0
+        grew = False
+        if self.max_per_tile < 1 << 15:
+            self.max_per_tile *= 2
+            grew = True
+        auto_pairs = max(1 << 18, 1 << int(4 * capacity - 1).bit_length())
+        new_pairs = max(self.max_pairs or auto_pairs, auto_pairs) * 2
+        if new_pairs <= 1 << 22:
+            self.max_pairs = new_pairs
+            grew = True
+        auto_big = 1 << max(int(capacity // 32 - 1).bit_length(), 6)
+        new_big = max(self.big_capacity or auto_big, auto_big) * 2
+        if new_big <= capacity:
+            self.big_capacity = new_big
+            grew = True
+        if grew:
+            self.__post_init__()
+        return grew
 
     def init(self, scene: GaussianScene):
         return self.optimizer.init(scene.params()), FitState.create(scene.capacity)
@@ -240,13 +283,19 @@ class FitLoop:
     def maybe_housekeep(self, scene, opt_state, fit_state):
         """Periodic non-densify upkeep: opacity reset every
         opacity_reset_interval steps (train.py:97-99) and SH degree step-up
-        every 1000 steps (train.py:52-54, oneupSHdegree)."""
+        every 1000 steps (train.py:52-54, oneupSHdegree).
+
+        The reference saves checkpoints BEFORE its densify/reset block
+        (train.py: save at :83, reset at :97) — never reset on the final
+        step, or a run whose max_steps is a reset multiple exports a
+        freshly-transparent scene (hit in practice: 6000-step fit saved at
+        reset 6000 -> eval PSNR 16 vs train 37)."""
         step = int(fit_state.step)
         if step > 0 and step % 1000 == 0:
             scene = scene.one_up_sh_degree()
         if (
             self.cfg.opacity_reset_interval > 0
-            and step > 0
+            and 0 < step < self.cfg.max_steps
             and step % self.cfg.opacity_reset_interval == 0
         ):
             scene, rows = D.reset_opacity(scene)

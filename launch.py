@@ -279,6 +279,12 @@ def run_fit(cfg, source, trial_dir, seed):
         scene, opt_state, fit_state = loop.maybe_housekeep(
             scene, opt_state, fit_state
         )
+        if loop.react_to_spill(int(aux["spill"]), scene.capacity):
+            log.warning(
+                "step %d: binning spill persisted — grew caps to "
+                "max_per_tile=%d max_pairs=%d big_capacity=%d (re-jit)",
+                step, loop.max_per_tile, loop.max_pairs, loop.big_capacity,
+            )
         if step % 10 == 0:
             metrics.log(step, {
                 "train/loss": float(aux["loss"]),

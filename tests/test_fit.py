@@ -188,3 +188,46 @@ class TestDensify:
         assert s2.capacity == 32
         assert int(s2.n_alive) == 8
         assert np.allclose(np.asarray(s2.xyz)[:8], np.asarray(scene.xyz)[:8])
+
+
+class TestHousekeepFinalStep:
+    def test_no_opacity_reset_on_final_step(self, rng):
+        """A run whose max_steps is a reset multiple must NOT export a
+        freshly-reset (transparent) scene — the reference saves before its
+        reset block (train.py). Regression for the 6000-step fit that
+        saved at reset boundary 6000 (eval PSNR 16 vs train 37)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dge_tpu.systems import fit as F
+        from dge_tpu.systems import optim as O
+        from tests.conftest import make_random_scene, make_test_camera
+
+        scene = make_random_scene(rng, n=32, capacity=64)
+        scene = scene.replace(opacity=scene.opacity + 3.0)  # clearly opaque
+        _, cam = make_test_camera(height=16, width=16)
+        cfg = O.OptimConfig.scaled(
+            4, opacity_reset_interval=2, densify_from_iter=1000
+        )
+        loop = F.FitLoop(cfg, tile_px=16, max_per_tile=32, chunk=16)
+        opt_state, fit_state = loop.init(scene)
+        target = jnp.zeros((16, 16, 3))
+        bg = jnp.zeros(3)
+        reset_seen = False
+        for step in range(4):
+            scene, opt_state, fit_state, _ = loop.train_step(
+                scene, opt_state, fit_state, cam, target, bg
+            )
+            before = float(jnp.max(scene.get_opacity))
+            scene, opt_state, fit_state = loop.maybe_housekeep(
+                scene, opt_state, fit_state
+            )
+            after = float(jnp.max(scene.get_opacity))
+            if int(fit_state.step) == 2:
+                # mid-run reset fires (interval 2)
+                assert after < before, (before, after)
+                reset_seen = True
+            if int(fit_state.step) == 4:
+                # final step: reset suppressed
+                assert after == before, (before, after)
+        assert reset_seen

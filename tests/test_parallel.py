@@ -165,6 +165,29 @@ def test_view_tile_train_step_matches_view_sharded(rng):
     )
 
 
+def test_gauss_tile_render_matches_single(rng):
+    """2-axis (gauss x tile) render: parameters sharded over Gaussian
+    blocks, pixels over tile bands — equals the single-device render."""
+    from dge_tpu.ops import render as R
+    from dge_tpu.parallel import tile_shard as TS
+
+    scene = make_random_scene(rng, n=60, capacity=64)  # 64 % 4 == 0
+    cams = ring_cameras(1, height=64, width=64)
+    cam = cams[0]
+    bg = jnp.zeros(3)
+    single = R.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=16)
+
+    mesh = TS.make_gauss_tile_mesh(4, 2)
+    fn = TS.make_gauss_tile_render(
+        mesh, 64, 64, tile_px=16, max_per_tile=128, chunk=16
+    )
+    color, depth, alpha, spill = fn(scene, cam, bg)
+    assert color.shape == (64, 64, 3)
+    assert np.allclose(np.asarray(color), np.asarray(single.color),
+                       atol=5e-3)
+    assert int(spill) == int(single.spill) == 0
+
+
 def test_gauss_sharded_preprocess_matches(rng):
     """Gaussian-axis-sharded preprocess == single-device preprocess."""
     from dge_tpu.ops import projection

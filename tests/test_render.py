@@ -269,6 +269,43 @@ class TestBinningVariants:
             assert (np.diff(depth[ia]) > -1e-4).all(), t
             assert (np.diff(depth[ib]) > -1e-4).all(), t
 
+    def test_bucketed_big_overflow_degrades_gracefully(self, rng):
+        """Big Gaussians beyond the slot capacity keep their first
+        small_slots tiles (partial coverage + counted spill) instead of
+        vanishing entirely."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=256)
+        _, cam = make_test_camera(height=64, width=64)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        kw = dict(
+            height=64, width=64, tile_px=16, max_per_tile=256,
+            max_tiles_per_gaussian=16, max_pairs=4096, compact_sort=False,
+            small_slots=1,  # force most multi-tile Gaussians into the big grid
+        )
+        full = binning._pair_sort(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            emission="bucketed", big_capacity=256, **kw,
+        )
+        tiny = binning._pair_sort(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            emission="bucketed", big_capacity=1, **kw,
+        )
+        # overflow drops pairs (counted), but every Gaussian that appears
+        # in the full stream still appears somewhere in the degraded one
+        assert int(tiny.spill) > int(full.spill)
+        ids_full, ids_tiny = set(), set()
+        for t in range(full.starts.shape[0]):
+            s, c = int(full.starts[t]), int(full.counts[t])
+            ids_full.update(np.asarray(full.pair_ids[s:s + c]).tolist())
+            s, c = int(tiny.starts[t]), int(tiny.counts[t])
+            ids_tiny.update(np.asarray(tiny.pair_ids[s:s + c]).tolist())
+        assert ids_full == ids_tiny
+
     def test_pair_sort_overflow_spill_reported(self, rng):
         """When the valid pairs exceed max_pairs, the compact path reports
         the overflow in spill instead of silently dropping."""
