@@ -212,17 +212,25 @@ def _pass2_kernel(
         ddy = dpow * (-(st["c"] * dy + st["b"] * dx))
         d_mx = jnp.sum(ddx, axis=1)
         d_my = jnp.sum(ddy, axis=1)
-        d_r = jnp.sum(st["w"] * cot[0:1, :], axis=1)
-        d_g = jnp.sum(st["w"] * cot[1:2, :], axis=1)
-        d_b = jnp.sum(st["w"] * cot[2:3, :], axis=1)
-        d_d = jnp.sum(st["w"] * cot[3:4, :], axis=1)
+        # color/depth grads are plain w-weighted pixel sums — one MXU matmul
+        # over the pixel axis instead of 4 cross-lane reduction trees;
+        # contracted as [4, P] @ [C, P]^T so the result rows concatenate
+        # directly (column slices carry mismatched lane offsets Mosaic's
+        # concatenate rejects)
+        d_rgbd = jax.lax.dot_general(
+            cot[0:4, :], st["w"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [4, C] rows = d_r, d_g, d_b, d_d
 
-        zero = jnp.zeros((chunk,), jnp.float32)
         # rows in _MX.._D order (= range(10)), padded to FEAT — built with
-        # stack, not .at[] (Mosaic has no in-kernel scatter)
-        out = jnp.stack(
-            [d_mx, d_my, d_ca, d_cb, d_cc, dop, d_r, d_g, d_b, d_d]
-            + [zero] * (FEAT - 10),
+        # stack/concat, not .at[] (Mosaic has no in-kernel scatter)
+        out = jnp.concatenate(
+            [
+                jnp.stack([d_mx, d_my, d_ca, d_cb, d_cc, dop], axis=0),
+                d_rgbd,
+                jnp.zeros((FEAT - 10, chunk), jnp.float32),
+            ],
             axis=0,
         )
         grad_ref[0, 0] = out

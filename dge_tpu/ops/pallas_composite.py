@@ -113,10 +113,14 @@ def _composite_kernel(
         applied = (t_hyp >= T_EPS).astype(jnp.float32)
         w = eff * trans * ex * applied  # [C, P]
 
-        color_scr[0:1, :] += jnp.sum(w * row(_R), axis=0, keepdims=True)
-        color_scr[1:2, :] += jnp.sum(w * row(_G), axis=0, keepdims=True)
-        color_scr[2:3, :] += jnp.sum(w * row(_B), axis=0, keepdims=True)
-        color_scr[3:4, :] += jnp.sum(w * row(_D), axis=0, keepdims=True)
+        # rgbd accumulation as ONE MXU matmul over the chunk axis instead of
+        # 4 cross-sublane reduction trees on the VPU (HIGHEST = 3-pass bf16
+        # ~= f32 exact; default single-pass bf16 costs ~1e-3 color error)
+        color_scr[...] += jax.lax.dot_general(
+            data[_R:_D + 1, :], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         # product of one_minus over applied rows == cp at the last applied
         # row; `applied` is a prefix of the monotone non-increasing cp, so
         # min over applied rows (1.0 elsewhere) is that product — Mosaic has
@@ -290,10 +294,12 @@ def _pairs_kernel(
         t_hyp = trans * cp
         applied = (t_hyp >= T_EPS).astype(jnp.float32)
         w = eff * trans * ex * applied
-        color_scr[0:1, :] += jnp.sum(w * row(_R), axis=0, keepdims=True)
-        color_scr[1:2, :] += jnp.sum(w * row(_G), axis=0, keepdims=True)
-        color_scr[2:3, :] += jnp.sum(w * row(_B), axis=0, keepdims=True)
-        color_scr[3:4, :] += jnp.sum(w * row(_D), axis=0, keepdims=True)
+        # rgbd accumulation on the MXU (see _composite_kernel)
+        color_scr[...] += jax.lax.dot_general(
+            data[_R:_D + 1, :], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         trans_scr[...] = trans * jnp.min(
             jnp.where(applied > 0, cp, 1.0), axis=0, keepdims=True
         )

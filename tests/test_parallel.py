@@ -207,3 +207,79 @@ def test_gauss_sharded_preprocess_matches(rng):
         a, b = getattr(ref, name), getattr(out, name)
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                            equal_nan=True), name
+
+
+def test_depth_slab_render_matches_single(rng):
+    """Gaussian parameters sharded over 8 devices, each compositing its
+    depth slab; the associative over-merge == single-device render."""
+    from dge_tpu.ops import render as R
+    from dge_tpu.parallel import gauss_shard as GS
+
+    scene = make_random_scene(rng, n=100, capacity=128)  # 128 % 8 == 0
+    cams = ring_cameras(1, height=64, width=64)
+    cam = cams[0]
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    single = R.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=16)
+
+    mesh = GS.make_gauss_mesh(8)
+    fn = GS.make_depth_slab_render(
+        mesh, 64, 64, tile_px=16, max_per_tile=128, chunk=16
+    )
+    color, depth, alpha, spill = fn(scene, cam, bg)
+    assert color.shape == (64, 64, 3)
+    assert int(spill) == int(single.spill) == 0
+    # per-slab depth quantization is finer than global — near-equal depths
+    # may swap order, so tolerance rather than equality
+    assert np.allclose(np.asarray(color), np.asarray(single.color),
+                       atol=5e-3), np.abs(
+        np.asarray(color) - np.asarray(single.color)
+    ).max()
+    assert np.allclose(np.asarray(alpha), np.asarray(single.alpha), atol=5e-3)
+    assert np.allclose(np.asarray(depth), np.asarray(single.depth), atol=5e-2)
+
+
+def test_depth_slab_train_step_matches_unsharded(rng):
+    """Model-parallel (sharded params + optimizer) depth-slab train step ==
+    the single-device train step: same loss, same updated parameters."""
+    from dge_tpu.parallel import gauss_shard as GS
+    from dge_tpu.systems import fit as F
+
+    scene = make_random_scene(rng, n=100, capacity=128)
+    cams = ring_cameras(1, height=64, width=64)
+    cam = cams[0]
+    target = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(64, 64, 3)).astype(np.float32)
+    )
+    bg = jnp.zeros(3)
+
+    def fresh():
+        optimizer = O.make_optimizer(O.OptimConfig.scaled(100))
+        return optimizer, optimizer.init(scene.params()), FitState.create(
+            scene.capacity
+        )
+
+    opt_a, os_a, fs_a = fresh()
+    step_a = F.make_train_step(
+        opt_a, lambda_dssim=0.0, tile_px=16, max_per_tile=128, chunk=16
+    )
+    sa, _, fsa, aux_a = step_a(scene, os_a, fs_a, cam, target, bg)
+
+    opt_b, os_b, fs_b = fresh()
+    mesh = GS.make_gauss_mesh(8)
+    step_b = GS.make_depth_slab_train_step(
+        opt_b, mesh, 64, 64, lambda_dssim=0.0, tile_px=16,
+        max_per_tile=128, chunk=16,
+    )
+    sb, _, fsb, aux_b = step_b(scene, os_b, fs_b, cam, target, bg)
+
+    assert np.allclose(float(aux_a["loss"]), float(aux_b["loss"]), atol=1e-5)
+    assert np.allclose(
+        np.asarray(sa.features_dc), np.asarray(sb.features_dc), atol=1e-4
+    )
+    assert np.allclose(np.asarray(sa.xyz), np.asarray(sb.xyz), atol=1e-4)
+    assert np.allclose(
+        np.asarray(fsa.max_radii2d), np.asarray(fsb.max_radii2d), atol=1e-3
+    )
+    assert np.allclose(
+        np.asarray(fsa.grad_accum), np.asarray(fsb.grad_accum), atol=1e-4
+    )
