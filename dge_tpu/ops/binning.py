@@ -265,15 +265,18 @@ def bin_gaussians_pairs(
     sentinel tile, so the stream prefix is exactly the concatenation of all
     tiles' depth-ordered lists).
 
-    ``max_pairs=0`` auto-scales the cap with the scene: max(2^18, 4N)
-    rounded up to a power of two — 131k Gaussians get 2^19 so real scenes
-    don't silently truncate the stream at the old fixed 2^18. All caps
+    ``max_pairs=0`` auto-scales the cap with the scene: max(2^18, 2N)
+    rounded up to a power of two. Measured on the 131k/512^2 bench scene
+    the true stream is ~1.75N pairs (229k), so 2N covers it with headroom
+    while halving the feature gather + stream padding vs the old 4N
+    (9.97 -> 9.44 ms/frame); persistent overflow doubles the cap via
+    FitLoop.react_to_spill. All caps
     (max_pairs, max_per_tile, big_capacity for the bucketed emission)
     report overflow in ``spill``; FitLoop.react_to_spill grows them when
     spill persists."""
     n = mean2d.shape[0]
     if max_pairs <= 0:
-        max_pairs = max(1 << 18, 1 << int(4 * n - 1).bit_length())
+        max_pairs = max(1 << 18, 1 << int(2 * n - 1).bit_length())
     return _pair_sort(
         mean2d, depth, radius, visible, height=height, width=width,
         tile_px=tile_px, max_per_tile=max_per_tile,

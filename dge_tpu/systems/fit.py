@@ -263,7 +263,7 @@ class FitLoop:
         if self.max_per_tile < 1 << 15:
             self.max_per_tile *= 2
             grew = True
-        auto_pairs = max(1 << 18, 1 << int(4 * capacity - 1).bit_length())
+        auto_pairs = max(1 << 18, 1 << int(2 * capacity - 1).bit_length())
         new_pairs = max(self.max_pairs or auto_pairs, auto_pairs) * 2
         if new_pairs <= 1 << 22:
             self.max_pairs = new_pairs

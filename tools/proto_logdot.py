@@ -244,7 +244,7 @@ def main():
     o_old = timeit("old (roll cumprod)", old, pb, prep)
     o_new = timeit("new (logdot)", new, pb, prep)
     o_rg = timeit("roll + matmul acc", mk(mode="roll"), pb, prep)
-    o_tl = timeit("roll + matmul acc (2nd)", mk(mode="roll"), pb, prep)
+    o_tl = timeit("two_level cumprod", mk(mode="two_level"), pb, prep)
 
     def to_img(x):
         x = np.asarray(x)
