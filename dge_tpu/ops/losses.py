@@ -46,8 +46,11 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return conv_axis(conv_axis(img, 0), 1)
 
 
-def ssim(a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM with torch-style same padding (loss_utils.py:38-63)."""
+def ssim_map(
+    a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11
+) -> jnp.ndarray:
+    """Per-pixel SSIM map with torch-style zero 'same' padding
+    (loss_utils.py:38-63). Shape-preserving over [H, W, C]."""
     w = jnp.asarray(_gaussian_window(window_size))
     c1, c2 = 0.01**2, 0.03**2
     mu1, mu2 = _blur(a, w), _blur(b, w)
@@ -55,10 +58,14 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     sigma1 = _blur(a * a, w) - mu1_sq
     sigma2 = _blur(b * b, w) - mu2_sq
     sigma12 = _blur(a * b, w) - mu12
-    s = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1 + sigma2 + c2)
     )
-    return jnp.mean(s)
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM (loss_utils.py:38-63)."""
+    return jnp.mean(ssim_map(a, b, window_size))
 
 
 def expon_lr_schedule(

@@ -236,6 +236,21 @@ def make_gauss_tile_render(
     return jax.jit(fn)
 
 
+def _halo_rows(x, axis_name: str, n: int, pad: int):
+    """Prepend/append ``pad`` rows exchanged with the neighboring tile
+    bands along ``axis_name`` (zeros at the outermost edges — exactly the
+    zero 'same' padding losses.ssim applies at image borders, so windowed
+    metrics over band rows match the unsharded full image)."""
+    if n == 1:
+        z = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([z, x, z], axis=0)
+    fwd = [(i, i + 1) for i in range(n - 1)]  # band i's bottom rows -> i+1
+    bwd = [(i, i - 1) for i in range(1, n)]  # band i's top rows -> i-1
+    top = jax.lax.ppermute(x[-pad:], axis_name, fwd)
+    bot = jax.lax.ppermute(x[:pad], axis_name, bwd)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
 def make_view_tile_train_step(
     optimizer,
     mesh: Mesh,
@@ -299,12 +314,28 @@ def make_view_tile_train_step(
                 tiles_x=bins.tiles_x, tiles_y=bins.tiles_y, tile_px=tile_px,
                 bg=bg, spill=bins.spill, chunk=chunk,
             )
-            # L1 over the band; ssim needs the full image so the sharded
-            # step uses L1 only (lambda_dssim applies per-band windows)
             loss = lambda_l1 * L.l1_loss(out.color, target_band)
             if lambda_dssim:
+                # exact full-image SSIM from per-band pieces: exchange
+                # window-radius row halos with the neighbor bands
+                # (ppermute over ICI; differentiable), compute the SSIM
+                # map on the extended band, keep only this band's rows.
+                # Mean-of-band-means == full-image mean (equal bands).
+                pad = 11 // 2
+                if band_px < pad:
+                    raise ValueError(
+                        f"band height {band_px} < SSIM window radius {pad}"
+                    )
+                color_h = _halo_rows(out.color, TILE_AXIS, n_tile, pad)
+                tgt_full = jnp.pad(
+                    targets[0], ((pad, pad), (0, 0), (0, 0))
+                )
+                tgt_h = jax.lax.dynamic_slice_in_dim(
+                    tgt_full, y0, band_px + 2 * pad, axis=0
+                )
+                smap = L.ssim_map(color_h, tgt_h)
                 loss = loss + lambda_dssim * (
-                    1.0 - L.ssim(out.color, target_band)
+                    1.0 - jnp.mean(smap[pad : pad + band_px])
                 )
             return loss / n_tile, (prep.visible, prep.radius)
 

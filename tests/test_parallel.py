@@ -165,6 +165,47 @@ def test_view_tile_train_step_matches_view_sharded(rng):
     )
 
 
+def test_view_tile_train_step_ssim_halo_matches(rng):
+    """lambda_dssim > 0: the halo-exchanged per-band SSIM (ppermute of
+    window-radius rows between tile bands) reproduces the full-image SSIM
+    objective of the view-sharded step exactly — losses AND gradients."""
+    from dge_tpu.parallel import tile_shard as TS
+
+    scene = make_random_scene(rng, n=60, capacity=64)
+    cams = ring_cameras(2, height=64, width=64)
+    batch = M.stack_cameras(cams)
+    targets = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    bg = jnp.zeros(3)
+
+    def fresh():
+        optimizer = O.make_optimizer(O.OptimConfig.scaled(100))
+        return optimizer, optimizer.init(scene.params()), FitState.create(
+            scene.capacity
+        )
+
+    opt_a, os_a, fs_a = fresh()
+    step_a = S.make_sharded_train_step(
+        opt_a, M.make_view_mesh(2), lambda_dssim=0.2, tile_px=16,
+        max_per_tile=128, chunk=16,
+    )
+    sa, _, _, aux_a = step_a(scene, os_a, fs_a, batch, targets, bg)
+
+    opt_b, os_b, fs_b = fresh()
+    step_b = TS.make_view_tile_train_step(
+        opt_b, TS.make_view_tile_mesh(2, 4), 64, 64, lambda_dssim=0.2,
+        tile_px=16, max_per_tile=128, chunk=16,
+    )
+    sb, _, _, aux_b = step_b(scene, os_b, fs_b, batch, targets, bg)
+
+    assert np.allclose(float(aux_a["loss"]), float(aux_b["loss"]), atol=1e-5)
+    assert np.allclose(
+        np.asarray(sa.features_dc), np.asarray(sb.features_dc), atol=1e-4
+    )
+    assert np.allclose(np.asarray(sa.xyz), np.asarray(sb.xyz), atol=1e-4)
+
+
 def test_gauss_tile_render_matches_single(rng):
     """2-axis (gauss x tile) render: parameters sharded over Gaussian
     blocks, pixels over tile bands — equals the single-device render."""
