@@ -51,6 +51,84 @@ def tile_rects(mean2d, radius, visible, tile_px, tiles_x, tiles_y):
     ), vis
 
 
+def tile_min_q(mean2d, conic, tx, ty, tile_px):
+    """Minimum of the Mahalanobis quadratic q(p) = a*dx^2 + 2b*dx*dy + c*dy^2
+    (dx = mean_x - px) over a tile's continuous pixel box
+    [tx*T, tx*T + T - 1] x [ty*T, ty*T + T - 1] (which contains every pixel
+    center the compositor evaluates, so the bound is one-sided).
+
+    The conic is PSD, so q is convex: the min is 0 when the mean lies inside
+    the box, otherwise it is attained on the boundary — each of the four
+    edges is a 1-D quadratic with a closed-form clamped minimizer.
+
+    mean2d [N, 2], conic [N, 3], tx/ty int [N, M] -> f32 [N, M].
+    """
+    return _tile_min_q_T(mean2d, conic, tx.T, ty.T, tile_px).T
+
+
+def _tile_min_q_T(mean2d, conic, txT, tyT, tile_px):
+    """tile_min_q in transposed [M, N] layout (txT/tyT [M, N] -> [M, N]):
+    M is small (4/32), and a [N, M] minor dim pads to the 128-lane vector
+    width on TPU — measured ~2 ms of pure relayout waste at N=131k, M=4
+    vs ~0.1 ms with N in the lanes."""
+    t = float(tile_px)
+    mx = mean2d[None, :, 0]
+    my = mean2d[None, :, 1]
+    a = conic[None, :, 0]
+    b = conic[None, :, 1]
+    c = conic[None, :, 2]
+    txf = txT.astype(jnp.float32) * t
+    tyf = tyT.astype(jnp.float32) * t
+    u0 = mx - (txf + (t - 1.0))  # dx over the box spans [u0, u1]
+    u1 = mx - txf
+    v0 = my - (tyf + (t - 1.0))
+    v1 = my - tyf
+    inside = (u0 <= 0.0) & (0.0 <= u1) & (v0 <= 0.0) & (0.0 <= v1)
+
+    asafe = jnp.maximum(a, 1e-12)
+    csafe = jnp.maximum(c, 1e-12)
+
+    def q(u, v):
+        return a * u * u + 2.0 * b * u * v + c * v * v
+
+    def edge_u(uf):  # u fixed, minimize the 1-D quadratic in v
+        vstar = jnp.clip(-b * uf / csafe, v0, v1)
+        return q(uf, vstar)
+
+    def edge_v(vf):
+        ustar = jnp.clip(-b * vf / asafe, u0, u1)
+        return q(ustar, vf)
+
+    m = jnp.minimum(
+        jnp.minimum(edge_u(u0), edge_u(u1)),
+        jnp.minimum(edge_v(v0), edge_v(v1)),
+    )
+    return jnp.where(inside, 0.0, jnp.maximum(m, 0.0))
+
+
+# Safety margin on the q <= 2*ln(255*opacity) cull test: keeps pairs whose
+# peak tile alpha is within a ~5e-4 relative band of the 1/255 kernel skip
+# threshold, so float roundoff in the closed-form edge minimum can never
+# drop a pair some pixel would actually composite.
+CULL_Q_MARGIN = 1e-3
+
+
+def tile_keep_mask(mean2d, conic, opacity, tx, ty, tile_px):
+    """keep[i, j] = some pixel of tile (tx, ty)[i, j] can see Gaussian i at
+    alpha >= 1/255. Exact w.r.t. the compositor semantics: every kernel
+    (composite._effective_alpha, pallas fwd/bwd) hard-skips alpha < 1/255
+    (forward.cu:335-348 analog), so dropping pairs that cannot reach it
+    changes neither the image nor the gradients."""
+    return _tile_keep_mask_T(mean2d, conic, opacity, tx.T, ty.T, tile_px).T
+
+
+def _tile_keep_mask_T(mean2d, conic, opacity, txT, tyT, tile_px):
+    """tile_keep_mask with [M, N] grids (N in the vector lanes)."""
+    qmin = _tile_min_q_T(mean2d, conic, txT, tyT, tile_px)  # [M, N]
+    qcut = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
+    return qmin <= qcut[None, :] + CULL_Q_MARGIN
+
+
 def bin_gaussians_scan(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,
@@ -151,6 +229,8 @@ def bin_gaussians(
     max_per_tile: int = 2048,
     max_tiles_per_gaussian: int = 32,
     chunk: int = 2048,  # unused; kept for signature compatibility
+    conic: jnp.ndarray = None,
+    opacity: jnp.ndarray = None,
 ) -> TileBins:
     """Duplicate-and-sort binning — the TPU analog of the reference's
     duplicateWithKeys + cub radix sort (rasterizer_impl.cu:67-125, 248-270),
@@ -165,6 +245,10 @@ def bin_gaussians(
     capped per-tile lists holding ORIGINAL Gaussian ids (``order`` is
     identity). Ties within a quantization bin keep submission order (stable
     sort). Overflow beyond either cap is counted in ``spill``.
+
+    Passing ``conic`` + ``opacity`` enables exact tight tile culling
+    (tile_keep_mask): rect tiles no pixel of which can composite the
+    Gaussian at alpha >= 1/255 are not emitted.
     """
     n = mean2d.shape[0]
     tiles_x = -(-width // tile_px)
@@ -200,6 +284,12 @@ def bin_gaussians(
     tx = x0[:, None] + j[None, :] % wsafe
     ty = y0[:, None] + j[None, :] // wsafe
     valid = (j[None, :] < cnt[:, None]) & vis[:, None]
+    if conic is not None:
+        txT = x0[None, :] + j[:, None] % jnp.maximum(w, 1)[None, :]
+        tyT = y0[None, :] + j[:, None] // jnp.maximum(w, 1)[None, :]
+        valid &= _tile_keep_mask_T(
+            mean2d, conic, opacity, txT, tyT, tile_px
+        ).T
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     keys = (tile_id << depth_bits) | dq[:, None]
     ids = jnp.broadcast_to(
@@ -259,6 +349,8 @@ def bin_gaussians_pairs(
     max_tiles_per_gaussian: int = 32,
     max_pairs: int = 0,
     big_capacity: int = 0,
+    conic: jnp.ndarray = None,
+    opacity: jnp.ndarray = None,
 ) -> PairBins:
     """Same duplicate-and-sort as bin_gaussians, but returning the sorted
     pair stream truncated to ``max_pairs`` (valid pairs sort before the
@@ -282,6 +374,7 @@ def bin_gaussians_pairs(
         tile_px=tile_px, max_per_tile=max_per_tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian, max_pairs=max_pairs,
         big_capacity=big_capacity or None,
+        conic=conic, opacity=opacity,
         # compaction-by-scatter measured 2.5x SLOWER end to end on TPU
         # (XLA scatter serializes 4.2M updates; the big sort it avoids is
         # cheaper) — keep the direct sort; compact_sort stays as an option
@@ -299,7 +392,8 @@ def bin_gaussians_pairs(
 
 
 def _bucketed_pair_keys(
-    x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits, m1, m2, b2
+    x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits, m1, m2, b2,
+    mean2d=None, conic=None, opacity=None, tile_px=None,
 ):
     """Two-tier (tile, Gaussian) key emission; returns (keys, ids,
     gauss_spill). Exact up to the same per-Gaussian m2 cap as the flat
@@ -321,6 +415,14 @@ def _bucketed_pair_keys(
     ty1 = y0[:, None] + j1[None, :] // wsafe
     in_small = vis & (~big | overflowed)
     valid1 = (j1[None, :] < cnt[:, None]) & in_small[:, None]
+    if conic is not None:
+        # build the [M, N] grids directly (lane-friendly), one bool
+        # transpose back
+        tx1T = x0[None, :] + j1[:, None] % jnp.maximum(w, 1)[None, :]
+        ty1T = y0[None, :] + j1[:, None] // jnp.maximum(w, 1)[None, :]
+        valid1 &= _tile_keep_mask_T(
+            mean2d, conic, opacity, tx1T, ty1T, tile_px
+        ).T
     tid1 = jnp.where(valid1, ty1 * tiles_x + tx1, num_tiles)
     keys1 = (tid1 << depth_bits) | dq[:, None]
     ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
@@ -335,14 +437,60 @@ def _bucketed_pair_keys(
     tx2 = x0[sid][:, None] + j2[None, :] % wb_safe
     ty2 = y0[sid][:, None] + j2[None, :] // wb_safe
     valid2 = occupied[:, None] & (j2[None, :] < cnt[sid][:, None])
-    tid2 = jnp.where(valid2, ty2 * tiles_x + tx2, num_tiles)
+    slotted = big & ~overflowed
+    if conic is not None:
+        # cull-then-compact: enumerate up to R rect tiles per big Gaussian,
+        # drop the invisible ones (tile_keep_mask), and pack the SURVIVORS
+        # into the m2 slots with one row-wise stable sort. A thin diagonal
+        # splat spanning a 20x20 rect truly intersects ~O(20) tiles; the
+        # uncompacted grid would emit the first m2 rect tiles (top rows,
+        # mostly invisible) and spill the rest — measured 173k falsely
+        # "spilled" pairs on a trained scene. b2 is small, so the [b2, R]
+        # candidate grid is cheap where an [N, R] one would not be.
+        r = min(num_tiles, 256)
+        jr = jnp.arange(r, dtype=jnp.int32)
+        wbT = jnp.maximum(w[sid], 1)[None, :]
+        txT = x0[sid][None, :] + jr[:, None] % wbT  # [R, b2]
+        tyT = y0[sid][None, :] + jr[:, None] // wbT
+        candT = (jr[:, None] < cnt[sid][None, :]) & occupied[None, :]
+        keepT = candT & _tile_keep_mask_T(
+            mean2d[sid], conic[sid], opacity[sid], txT, tyT, tile_px
+        )
+        tid_candT = jnp.where(keepT, tyT * tiles_x + txT, num_tiles)
+        # row-major emission rank for kept tiles, R for culled: the stable
+        # per-column sort packs kept tiles first in original order
+        # (dimension=0 keeps the lane-friendly [R, b2] layout; only the
+        # small [m2, b2] prefix is transposed out)
+        rankkeyT = jnp.where(keepT, jr[:, None], r)
+        _, tid_packedT = jax.lax.sort(
+            (rankkeyT, tid_candT), dimension=0, num_keys=1, is_stable=True
+        )
+        kept_cnt = jnp.sum(keepT, axis=0)  # [b2]
+        valid2 = occupied[:, None] & (
+            j2[None, :] < jnp.minimum(kept_cnt, m2)[:, None]
+        )
+        packed = tid_packedT[:m2].T  # [b2, min(m2, r)]
+        if r < m2:  # tiny tile grids: fewer candidates than slots
+            packed = jnp.pad(
+                packed, ((0, 0), (0, m2 - r)), constant_values=num_tiles
+            )
+        tid2 = jnp.where(valid2, packed, num_tiles)
+        # true spill: kept tiles beyond the m2 slots, plus rect tiles
+        # beyond the R enumeration bound (uninspected, counted raw)
+        spill_big = jnp.sum(
+            jnp.where(occupied, jnp.maximum(kept_cnt - m2, 0), 0)
+        ) + jnp.sum(
+            jnp.where(occupied, jnp.maximum(cnt[sid] - r, 0), 0)
+        )
+    else:
+        tid2 = jnp.where(valid2, ty2 * tiles_x + tx2, num_tiles)
+        spill_big = jnp.sum(jnp.where(slotted, jnp.maximum(cnt - m2, 0), 0))
     keys2 = (tid2 << depth_bits) | dq[sid][:, None]
     ids2 = jnp.broadcast_to(sid[:, None], keys2.shape)
 
     keys = jnp.concatenate([keys1.reshape(-1), keys2.reshape(-1)])
     ids = jnp.concatenate([ids1.reshape(-1), ids2.reshape(-1)])
-    slotted = big & ~overflowed
-    spill = jnp.sum(jnp.where(slotted, jnp.maximum(cnt - m2, 0), 0)) + \
+    spill = spill_big + \
         jnp.sum(jnp.where(overflowed, jnp.maximum(cnt - m1, 0), 0))
     return keys, ids, spill
 
@@ -350,7 +498,7 @@ def _bucketed_pair_keys(
 def _pair_sort(
     mean2d, depth, radius, visible, *, height, width, tile_px, max_per_tile,
     max_tiles_per_gaussian, max_pairs, compact_sort, emission="flat",
-    small_slots=4, big_capacity=None,
+    small_slots=4, big_capacity=None, conic=None, opacity=None,
 ):
     """Pair-stream binning body. ``compact_sort=True`` scatters the valid
     (tile, Gaussian) pairs into a max_pairs-sized buffer BEFORE sorting
@@ -391,6 +539,7 @@ def _pair_sort(
         keys, ids, gauss_spill = _bucketed_pair_keys(
             x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits,
             m1=small_slots, m2=m, b2=b2,
+            mean2d=mean2d, conic=conic, opacity=opacity, tile_px=tile_px,
         )
         keys, ids = jax.lax.sort((keys, ids), num_keys=1, is_stable=True)
         tids = jnp.arange(num_tiles, dtype=jnp.int32) << depth_bits
@@ -416,6 +565,12 @@ def _pair_sort(
     tx = x0[:, None] + j[None, :] % wsafe
     ty = y0[:, None] + j[None, :] // wsafe
     valid = (j[None, :] < cnt[:, None]) & vis[:, None]
+    if conic is not None:
+        txT = x0[None, :] + j[:, None] % jnp.maximum(w, 1)[None, :]
+        tyT = y0[None, :] + j[:, None] // jnp.maximum(w, 1)[None, :]
+        valid &= _tile_keep_mask_T(
+            mean2d, conic, opacity, txT, tyT, tile_px
+        ).T
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     keys = (tile_id << depth_bits) | dq[:, None]
     ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], keys.shape)

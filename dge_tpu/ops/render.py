@@ -50,9 +50,17 @@ def render(
     mean2d_offset: Optional[Float[jnp.ndarray, "N 2"]] = None,
     chunk: int = 64,
     backend: str = "jnp",
+    tight_cull: bool = False,
 ) -> RenderOut:
     """backend: "jnp" (differentiable, XLA-fused) or "pallas" (TPU Mosaic
-    forward kernel, fastest inference path)."""
+    forward kernel, fastest inference path).
+
+    ``tight_cull`` drops (Gaussian, tile) pairs no pixel of which can pass
+    the kernels' alpha >= 1/255 skip (binning.tile_keep_mask) — exact for
+    color, depth AND gradients; measured 2.15x fewer pairs on a trained
+    (anisotropic) scene, but the mask math costs ~1.4 ms at 131k Gaussians,
+    a net loss on near-isotropic scenes — hence off by default here and
+    enabled adaptively by FitLoop.react_to_spill."""
     bg = jnp.zeros(3, jnp.float32) if bg is None else jnp.asarray(bg, jnp.float32)
 
     prep = projection.preprocess(
@@ -72,6 +80,13 @@ def render(
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset
 
+    # tight culling feeds only integer pair ids; stop_gradient keeps the
+    # cull math out of the backward graph like the other binning inputs
+    cull_kw = dict(
+        conic=jax.lax.stop_gradient(prep.conic) if tight_cull else None,
+        opacity=jax.lax.stop_gradient(prep.opacity) if tight_cull else None,
+    )
+
     if backend == "pallas_train":
         # differentiable fast path: Pallas forward AND backward for the
         # compositing (custom_vjp); preprocess stays jnp-autodiff
@@ -89,6 +104,7 @@ def render(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_pairs=max_pairs,
             big_capacity=big_capacity,
+            **cull_kw,
         )
         color, depth, final_t = pallas_backward.stream_composite(
             mean2d,
@@ -132,6 +148,7 @@ def render(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_pairs=max_pairs,
             big_capacity=big_capacity,
+            **cull_kw,
         )
         color, depth, final_t = pallas_composite.composite_pairs_pallas(
             pb.pair_ids,
@@ -170,6 +187,7 @@ def render(
         tile_px=tile_px,
         max_per_tile=max_per_tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
+        **cull_kw,
     )
     order = bins.order  # None = lists hold original ids
 
@@ -301,6 +319,10 @@ def render_weights(
         tile_px=tile_px,
         max_per_tile=max_per_tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
+        # exact tight culling: lift_weights skips alpha < 1/255 like the
+        # color kernels (composite._effective_alpha)
+        conic=prep.conic,
+        opacity=prep.opacity,
     )
     order = bins.order
 

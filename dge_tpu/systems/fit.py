@@ -61,10 +61,12 @@ def make_train_step(
     lambda_perceptual: float = 0.0,
     tile_px: int = 32,
     max_per_tile: int = 2048,
+    max_tiles_per_gaussian: int = 32,
     max_pairs: int = 0,
     big_capacity: int = 0,
     chunk: int = 64,
     backend: Optional[str] = None,
+    tight_cull: bool = False,
 ):
     """Build a jitted (scene, opt_state, fit_state, cam, target, bg) step.
 
@@ -83,11 +85,13 @@ def make_train_step(
             bg,
             tile_px=tile_px,
             max_per_tile=max_per_tile,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_pairs=max_pairs,
             big_capacity=big_capacity,
             mean2d_offset=mean2d_offset,
             chunk=chunk,
             backend=backend,
+            tight_cull=tight_cull,
         )
         img = out.color
         loss = lambda_l1 * L.l1_loss(img, target)
@@ -217,6 +221,7 @@ class FitLoop:
     spatial_lr_scale: float = 1.0
     tile_px: int = 32
     max_per_tile: int = 2048
+    max_tiles_per_gaussian: int = 32
     max_pairs: int = 0  # 0 = auto (binning scales with capacity)
     big_capacity: int = 0  # 0 = auto (bucketed emission default)
     chunk: int = 64
@@ -226,6 +231,12 @@ class FitLoop:
     lambda_perceptual: float = 0.0
     backend: Optional[str] = None  # None = auto (pallas_train on TPU)
     spill_patience: int = 3  # consecutive spilling steps before caps grow
+    # exact tight tile culling (binning.tile_keep_mask): off by default (its
+    # mask math costs ~1.4 ms/step at 131k Gaussians), switched on as the
+    # FIRST react_to_spill response — dropping invisible pairs is cheaper
+    # than growing caps, and cull-then-compact recovers real tiles the
+    # per-Gaussian slot cap was spilling
+    tight_cull: bool = False
 
     def __post_init__(self):
         self.optimizer = O.make_optimizer(self.cfg, self.spatial_lr_scale)
@@ -238,10 +249,12 @@ class FitLoop:
             lambda_perceptual=self.lambda_perceptual,
             tile_px=self.tile_px,
             max_per_tile=self.max_per_tile,
+            max_tiles_per_gaussian=self.max_tiles_per_gaussian,
             max_pairs=self.max_pairs,
             big_capacity=self.big_capacity,
             chunk=self.chunk,
             backend=self.backend,
+            tight_cull=self.tight_cull,
         )
 
     def react_to_spill(self, spill: int, capacity: int) -> bool:
@@ -259,7 +272,18 @@ class FitLoop:
         if self._spill_streak < self.spill_patience:
             return False
         self._spill_streak = 0
+        if not self.tight_cull:
+            # cheapest response first: stop emitting invisible pairs and
+            # compact the big-Gaussian slots (exact; see binning.py)
+            self.tight_cull = True
+            self.__post_init__()
+            return True
         grew = False
+        if self.max_tiles_per_gaussian < 256:
+            # honest (post-cull) per-Gaussian spill that persists means big
+            # splats genuinely intersect more tiles than the slot cap
+            self.max_tiles_per_gaussian *= 2
+            grew = True
         if self.max_per_tile < 1 << 15:
             self.max_per_tile *= 2
             grew = True

@@ -231,3 +231,46 @@ class TestHousekeepFinalStep:
                 # final step: reset suppressed
                 assert after == before, (before, after)
         assert reset_seen
+
+
+class TestSpillLadder:
+    def test_tight_cull_is_first_response(self, rng):
+        """react_to_spill ladder: enable exact tight culling first (free
+        quality, no cap growth), then grow max_tiles_per_gaussian and the
+        stream caps on further persistent spill."""
+        cfg = O.OptimConfig.scaled(4)
+        loop = F.FitLoop(cfg, tile_px=16, max_per_tile=32, chunk=16,
+                         spill_patience=2)
+        assert not loop.tight_cull
+        assert not loop.react_to_spill(100, 64)  # patience not reached
+        assert loop.react_to_spill(100, 64)
+        assert loop.tight_cull
+        m0, k0 = loop.max_tiles_per_gaussian, loop.max_per_tile
+        assert not loop.react_to_spill(100, 64)
+        assert loop.react_to_spill(100, 64)
+        assert loop.max_tiles_per_gaussian == 2 * m0
+        assert loop.max_per_tile == 2 * k0
+        # spill clearing resets the streak
+        assert not loop.react_to_spill(0, 64)
+        assert not loop.react_to_spill(100, 64)
+
+    def test_fit_with_tight_cull_matches(self, rng):
+        """A short fit with tight_cull on reaches the same loss as without
+        (the cull is exact for gradients)."""
+        scene = make_random_scene(rng, n=24, capacity=32)
+        _, cam = make_test_camera(height=16, width=16)
+        target = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+        bg = jnp.zeros(3)
+        cfg = O.OptimConfig.scaled(4, densify_from_iter=1000)
+        results = []
+        for cull in (False, True):
+            s = scene
+            loop = F.FitLoop(cfg, tile_px=16, max_per_tile=64, chunk=16,
+                             tight_cull=cull)
+            opt_state, fit_state = loop.init(s)
+            for _ in range(5):
+                s, opt_state, fit_state, aux = loop.train_step(
+                    s, opt_state, fit_state, cam, target, bg
+                )
+            results.append(float(aux["loss"]))
+        assert np.allclose(results[0], results[1], rtol=1e-5), results

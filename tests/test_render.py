@@ -1,6 +1,8 @@
 """Rasterizer correctness: tiled renderer vs naive per-pixel oracle,
 gradient checks, apply_weights mask lifting."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -324,3 +326,169 @@ class TestBinningVariants:
             max_tiles_per_gaussian=16, max_pairs=32,
         )
         assert int(out.spill) > 0
+
+
+class TestTightCulling:
+    """Exactness of binning.tile_keep_mask (tight tile culling): pairs are
+    dropped only when no pixel of the tile could composite the Gaussian at
+    alpha >= 1/255 — the kernels' hard skip threshold — so renders (and
+    gradients) are unchanged while the pair stream shrinks."""
+
+    def test_keep_mask_matches_bruteforce(self, rng):
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=96, scale_rng=(-3.5, -1.0))
+        _, cam = make_test_camera(height=64, width=64)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        tile_px = 16
+        tiles = 64 // tile_px
+        cap = scene.capacity
+        tx = jnp.broadcast_to(jnp.arange(tiles * tiles) % tiles, (cap, tiles * tiles))
+        ty = jnp.broadcast_to(jnp.arange(tiles * tiles) // tiles, (cap, tiles * tiles))
+        keep = np.asarray(binning.tile_keep_mask(
+            prep.mean2d, prep.conic, prep.opacity, tx, ty, tile_px))
+
+        mean2d = np.asarray(prep.mean2d)
+        conic = np.asarray(prep.conic)
+        op = np.asarray(prep.opacity)
+        vis = np.asarray(prep.visible)
+        # brute-force max alpha over each tile's pixel grid
+        n_culled_visible = 0
+        for i in range(96):
+            if not vis[i]:
+                continue
+            for t in range(tiles * tiles):
+                x0 = (t % tiles) * tile_px
+                y0 = (t // tiles) * tile_px
+                xs, ys = np.meshgrid(
+                    np.arange(x0, x0 + tile_px), np.arange(y0, y0 + tile_px)
+                )
+                dx = mean2d[i, 0] - xs
+                dy = mean2d[i, 1] - ys
+                q = (conic[i, 0] * dx * dx + 2 * conic[i, 1] * dx * dy
+                     + conic[i, 2] * dy * dy)
+                amax = op[i] * np.exp(-0.5 * q.min())
+                if not keep[i, t]:
+                    # culled pairs must be invisible at every pixel
+                    assert amax < 1.0 / 255.0, (i, t, amax)
+                    n_culled_visible += 1
+        # the test scene is anisotropic enough that culling must fire
+        assert n_culled_visible > 0
+
+    @pytest.mark.parametrize("backend", ["jnp", "pallas_stream"])
+    def test_render_unchanged(self, rng, backend):
+        if backend == "pallas_stream" and jax.default_backend() == "cpu":
+            pytest.skip("pallas kernels are TPU-only")
+        scene = make_random_scene(rng, n=128, scale_rng=(-3.5, -1.0))
+        _, cam = make_test_camera(height=64, width=64)
+        bg = jnp.array([0.2, 0.1, 0.4])
+        kw = dict(tile_px=16, max_per_tile=256, backend=backend)
+        out = render.render(scene, cam, bg, tight_cull=True, **kw)
+        ref = render.render(scene, cam, bg, tight_cull=False, **kw)
+        assert np.allclose(out.color, ref.color, atol=1e-6)
+        assert np.allclose(out.depth, ref.depth, atol=1e-6)
+        assert np.allclose(out.alpha, ref.alpha, atol=1e-6)
+
+    def test_grads_unchanged(self, rng):
+        scene = make_random_scene(rng, n=64, scale_rng=(-3.5, -1.0))
+        _, cam = make_test_camera(height=48, width=48)
+
+        def loss(xyz, opacity, scaling, tight):
+            s = scene.replace(xyz=xyz, opacity=opacity, scaling=scaling)
+            out = render.render(s, cam, tile_px=16, max_per_tile=256,
+                                tight_cull=tight)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.depth)
+
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(
+            scene.xyz, scene.opacity, scene.scaling, True)
+        g0 = jax.grad(loss, argnums=(0, 1, 2))(
+            scene.xyz, scene.opacity, scene.scaling, False)
+        for a, b in zip(g1, g0):
+            assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+
+    def test_compaction_recovers_capped_tiles(self, rng):
+        """Cull-then-compact for big Gaussians: a thin diagonal splat whose
+        tile RECT far exceeds max_tiles_per_gaussian but whose true
+        (visible) footprint fits — with tight culling the slots hold the
+        surviving tiles (full coverage, no spill); without it the slots
+        fill with mostly-invisible rect tiles and the rest spills."""
+        from dge_tpu.ops import binning, projection
+        from dge_tpu.scene import gaussians as G
+
+        n = 6
+        xyz = (rng.normal(size=(n, 3)) * 0.4).astype(np.float32)
+        fdc = rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3
+        frest = np.zeros((n, 3, 3), np.float32)
+        opacity = np.full((n, 1), 3.0, np.float32)
+        # one long axis, two tiny: an extremely anisotropic splat
+        scaling = np.tile(np.array([[-0.8, -4.0, -4.0]], np.float32), (n, 1))
+        th = math.pi / 8  # 45 deg about the view axis
+        quat = np.tile(
+            np.array([[math.cos(th), 0.0, 0.0, math.sin(th)]], np.float32),
+            (n, 1),
+        )
+        scene = G.from_arrays(xyz, fdc, frest, opacity, scaling, quat,
+                              max_sh_degree=1)
+        _, cam = make_test_camera(height=128, width=128)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        kw = dict(height=128, width=128, tile_px=16, max_per_tile=256)
+        cull = dict(conic=prep.conic, opacity=prep.opacity)
+
+        def pair_set(pb):
+            ids = np.asarray(pb.pair_ids)
+            st = np.asarray(pb.starts)
+            ct = np.asarray(pb.counts)
+            return {
+                (t, ids[st[t] + i])
+                for t in range(len(st))
+                for i in range(ct[t])
+            }
+
+        m_small = 16
+        a = binning.bin_gaussians_pairs(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            max_tiles_per_gaussian=m_small, **kw, **cull)
+        a_nocull = binning.bin_gaussians_pairs(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            max_tiles_per_gaussian=m_small, **kw)
+        full = binning.bin_gaussians_pairs(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            max_tiles_per_gaussian=64, **kw, **cull)
+        # the test is only meaningful if the rects actually exceed m_small
+        assert int(a_nocull.spill) > 0
+        # compacted slots recover the full surviving footprint
+        assert pair_set(a) == pair_set(full)
+        assert int(a.spill) == 0
+
+    def test_cull_small_tile_grid(self, rng):
+        """num_tiles < max_tiles_per_gaussian: the packed big-Gaussian grid
+        is narrower than the slot count (regression: shape mismatch)."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=64, scale_rng=(-3.0, -1.0))
+        _, cam = make_test_camera(height=32, width=32)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        kw = dict(height=32, width=32, tile_px=16, max_per_tile=128)
+        a = binning.bin_gaussians_pairs(
+            prep.mean2d, prep.depth, prep.radius, prep.visible,
+            conic=prep.conic, opacity=prep.opacity, **kw)
+        b = binning.bin_gaussians_pairs(
+            prep.mean2d, prep.depth, prep.radius, prep.visible, **kw)
+        # culled stream is a subset of the uncapped one per tile
+        ids_a, ids_b = np.asarray(a.pair_ids), np.asarray(b.pair_ids)
+        for t in range(4):
+            la = ids_a[int(a.starts[t]):int(a.starts[t]) + int(a.counts[t])]
+            lb = ids_b[int(b.starts[t]):int(b.starts[t]) + int(b.counts[t])]
+            assert set(la) <= set(lb)
