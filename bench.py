@@ -170,6 +170,9 @@ def bench_edit_round():
     t0 = time.perf_counter()
     latents = P.encode_images(models, rgb, r_enc, chunk=5)
     _sync(latents.astype(jnp.float32))
+    # the cond (mode, no posterior sample) encode is a separate jitted
+    # program — warm it too so the timed region is steady-state
+    _sync(P.encode_cond_images(models, cond, chunk=5).astype(jnp.float32))
     enc_compile = time.perf_counter() - t0
     _progress(f"edit: VAE encode compile {enc_compile:.0f}s")
     t0 = time.perf_counter()

@@ -16,7 +16,7 @@ classifier-free guidance is IP2P's 3-way form
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -99,25 +99,53 @@ def _batched(fn, x, chunk: Optional[int]):
     return jnp.concatenate(outs, axis=0)
 
 
+# linen Modules are immutable/hashable, so the jitted VAE entry points can
+# be cached per module instance. Running vae.apply eagerly dispatched every
+# primitive through the axon relay one by one — measured 8.7 s for the
+# 20-view encode pass that is ~0.6 s of MXU work.
+@lru_cache(maxsize=8)
+def _enc_sample_fn(vae):
+    @jax.jit
+    def f(params, x, r):
+        return vae.apply({"params": params}, x * 2.0 - 1.0, r,
+                         method=vae.encode)
+    return f
+
+
+@lru_cache(maxsize=8)
+def _enc_mode_fn(vae):
+    @jax.jit
+    def f(params, x):
+        return vae.apply({"params": params}, x * 2.0 - 1.0, None,
+                         method=vae.encode)
+    return f
+
+
+@lru_cache(maxsize=8)
+def _dec_fn(vae):
+    @jax.jit
+    def f(params, z):
+        img = vae.apply({"params": params}, z, method=vae.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+    return f
+
+
 def encode_images(
     models: IP2PModels, rgb: jnp.ndarray, rng, chunk: Optional[int] = None
 ) -> jnp.ndarray:
     """[B, H, W, 3] in [0,1] -> sampled scaled latents [B, H/8, W/8, 4]
     (encode_images, dge_guidance.py:190-199)."""
-    def enc(x, r):
-        return models.vae.apply(
-            {"params": models.vae_params}, x * 2.0 - 1.0, r,
-            method=models.vae.encode,
-        )
+    enc = _enc_sample_fn(models.vae)
 
     b = rgb.shape[0]
     if not chunk or b <= chunk:
-        return enc(rgb, rng)
+        return enc(models.vae_params, rgb, rng)
     # independent posterior noise per chunk (fold_in keeps it deterministic
     # in the chunking layout)
     return jnp.concatenate(
         [
-            enc(rgb[i : i + chunk], jax.random.fold_in(rng, i))
+            enc(models.vae_params, rgb[i : i + chunk],
+                jax.random.fold_in(rng, i))
             for i in range(0, b, chunk)
         ],
         axis=0,
@@ -129,26 +157,16 @@ def encode_cond_images(
 ) -> jnp.ndarray:
     """Conditioning latents: distribution mode, tripled [img, img, zeros]
     (encode_cond_images, dge_guidance.py:201-218)."""
-    def enc(x):
-        return models.vae.apply(
-            {"params": models.vae_params}, x * 2.0 - 1.0, None,
-            method=models.vae.encode,
-        )
-
-    lat = _batched(enc, rgb, chunk)
+    f = _enc_mode_fn(models.vae)
+    lat = _batched(lambda x: f(models.vae_params, x), rgb, chunk)
     return jnp.concatenate([lat, lat, jnp.zeros_like(lat)], axis=0)
 
 
 def decode_latents(
     models: IP2PModels, latents: jnp.ndarray, chunk: Optional[int] = None
 ) -> jnp.ndarray:
-    def dec(z):
-        img = models.vae.apply(
-            {"params": models.vae_params}, z, method=models.vae.decode
-        )
-        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
-
-    return _batched(dec, latents, chunk)
+    f = _dec_fn(models.vae)
+    return _batched(lambda z: f(models.vae_params, z), latents, chunk)
 
 
 def cfg_combine(

