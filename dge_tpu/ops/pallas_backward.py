@@ -319,7 +319,14 @@ def _stream_backward(
     )(starts.astype(jnp.int32), counts.astype(jnp.int32), startblk, data,
       cot_tiles, boundary_t, suf, tfin_b)
 
-    # fold the per-(tile, slot) grads back to per-Gaussian space
+    # fold the per-(tile, slot) grads back to per-Gaussian space with ONE
+    # scatter-add over the whole grid. Tried and rejected: pre-gathering
+    # the grid down to the pc-row stream axis before the scatter — the
+    # isolated scatter cost scales with rows (524k -> 262k would save
+    # ~4 ms), but in-graph both gather formulations measured 59-61 ms for
+    # the full backward vs 36 ms for this direct scatter (XLA fuses the
+    # grid-shaped gid/grad production into the scatter; a materialized
+    # [pc, FEAT] intermediate breaks that).
     blk_ids = jnp.minimum(
         startblk[:, None] + jnp.arange(bpt, dtype=jnp.int32)[None, :], max_blk
     )  # [T, bpt]
