@@ -63,14 +63,21 @@ def tile_min_q(mean2d, conic, tx, ty, tile_px):
 
     mean2d [N, 2], conic [N, 3], tx/ty int [N, M] -> f32 [N, M].
     """
-    return _tile_min_q_T(mean2d, conic, tx.T, ty.T, tile_px).T
+    return _tile_min_q_T(mean2d, conic, tx.T, ty.T, tile_px)[0].T
 
 
 def _tile_min_q_T(mean2d, conic, txT, tyT, tile_px):
-    """tile_min_q in transposed [M, N] layout (txT/tyT [M, N] -> [M, N]):
-    M is small (4/32), and a [N, M] minor dim pads to the 128-lane vector
-    width on TPU — measured ~2 ms of pure relayout waste at N=131k, M=4
-    vs ~0.1 ms with N in the lanes."""
+    """tile_min_q in transposed [M, N] layout (txT/tyT [M, N] -> ([M, N]
+    qmin, [M, N] qabs)): M is small (4/32), and a [N, M] minor dim pads to
+    the 128-lane vector width on TPU — measured ~2 ms of pure relayout
+    waste at N=131k, M=4 vs ~0.1 ms with N in the lanes.
+
+    ``qabs`` is the absolute-magnitude form a*u^2 + |2b*u*v| + c*v^2 at the
+    chosen minimizer — the cancellation scale of the quadratic, which bounds
+    the f32 roundoff divergence between this evaluation and the compositor
+    kernels' differently-grouped power computation (for high-aspect conics
+    the terms cancel catastrophically and a fixed absolute margin is not
+    safe)."""
     t = float(tile_px)
     mx = mean2d[None, :, 0]
     my = mean2d[None, :, 1]
@@ -88,29 +95,40 @@ def _tile_min_q_T(mean2d, conic, txT, tyT, tile_px):
     asafe = jnp.maximum(a, 1e-12)
     csafe = jnp.maximum(c, 1e-12)
 
-    def q(u, v):
-        return a * u * u + 2.0 * b * u * v + c * v * v
+    def q_pair(u, v):
+        cross = 2.0 * b * u * v
+        return a * u * u + cross + c * v * v, \
+            a * u * u + jnp.abs(cross) + c * v * v
 
     def edge_u(uf):  # u fixed, minimize the 1-D quadratic in v
         vstar = jnp.clip(-b * uf / csafe, v0, v1)
-        return q(uf, vstar)
+        return q_pair(uf, vstar)
 
     def edge_v(vf):
         ustar = jnp.clip(-b * vf / asafe, u0, u1)
-        return q(ustar, vf)
+        return q_pair(ustar, vf)
 
-    m = jnp.minimum(
-        jnp.minimum(edge_u(u0), edge_u(u1)),
-        jnp.minimum(edge_v(v0), edge_v(v1)),
+    m, ma = edge_u(u0)
+    for cand, ca in (edge_u(u1), edge_v(v0), edge_v(v1)):
+        better = cand < m
+        m = jnp.where(better, cand, m)
+        ma = jnp.where(better, ca, ma)
+    zero = jnp.zeros_like(m)
+    return (
+        jnp.where(inside, zero, jnp.maximum(m, 0.0)),
+        jnp.where(inside, zero, ma),
     )
-    return jnp.where(inside, 0.0, jnp.maximum(m, 0.0))
 
 
-# Safety margin on the q <= 2*ln(255*opacity) cull test: keeps pairs whose
-# peak tile alpha is within a ~5e-4 relative band of the 1/255 kernel skip
-# threshold, so float roundoff in the closed-form edge minimum can never
-# drop a pair some pixel would actually composite.
+# Safety margin on the q <= 2*ln(255*opacity) cull test: an absolute floor
+# plus a term proportional to the quadratic's cancellation magnitude (qabs).
+# The kernels group the power differently (-0.5*(a dx^2 + c dy^2) - b dx dy,
+# composite._effective_alpha) than the closed-form edge minimum here, so
+# their f32 roundoff diverges by O(eps * qabs) — observed 2.7e-3 at conic
+# aspect ~136 where qabs >> q. 2e-5 ~ 170x f32 eps; the extra pairs kept by
+# the margin sit in a sub-percent alpha band around 1/255, negligible work.
 CULL_Q_MARGIN = 1e-3
+CULL_Q_REL = 2e-5
 
 
 def tile_keep_mask(mean2d, conic, opacity, tx, ty, tile_px):
@@ -124,9 +142,19 @@ def tile_keep_mask(mean2d, conic, opacity, tx, ty, tile_px):
 
 def _tile_keep_mask_T(mean2d, conic, opacity, txT, tyT, tile_px):
     """tile_keep_mask with [M, N] grids (N in the vector lanes)."""
-    qmin = _tile_min_q_T(mean2d, conic, txT, tyT, tile_px)  # [M, N]
+    qmin, qabs = _tile_min_q_T(mean2d, conic, txT, tyT, tile_px)  # [M, N]
     qcut = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
-    return qmin <= qcut[None, :] + CULL_Q_MARGIN
+    return qmin <= qcut[None, :] + CULL_Q_MARGIN + CULL_Q_REL * qabs
+
+
+def _cull_valid(mean2d, conic, opacity, x0, y0, w, j, tile_px):
+    """Keep-mask for the row-major rect enumeration (slot j of each
+    Gaussian): builds the [M, N] grids directly (lane-friendly; see
+    _tile_min_q_T) and returns [N, M] to AND into the emission validity."""
+    wsafeT = jnp.maximum(w, 1)[None, :]
+    txT = x0[None, :] + j[:, None] % wsafeT
+    tyT = y0[None, :] + j[:, None] // wsafeT
+    return _tile_keep_mask_T(mean2d, conic, opacity, txT, tyT, tile_px).T
 
 
 def bin_gaussians_scan(
@@ -285,11 +313,7 @@ def bin_gaussians(
     ty = y0[:, None] + j[None, :] // wsafe
     valid = (j[None, :] < cnt[:, None]) & vis[:, None]
     if conic is not None:
-        txT = x0[None, :] + j[:, None] % jnp.maximum(w, 1)[None, :]
-        tyT = y0[None, :] + j[:, None] // jnp.maximum(w, 1)[None, :]
-        valid &= _tile_keep_mask_T(
-            mean2d, conic, opacity, txT, tyT, tile_px
-        ).T
+        valid &= _cull_valid(mean2d, conic, opacity, x0, y0, w, j, tile_px)
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     keys = (tile_id << depth_bits) | dq[:, None]
     ids = jnp.broadcast_to(
@@ -416,13 +440,7 @@ def _bucketed_pair_keys(
     in_small = vis & (~big | overflowed)
     valid1 = (j1[None, :] < cnt[:, None]) & in_small[:, None]
     if conic is not None:
-        # build the [M, N] grids directly (lane-friendly), one bool
-        # transpose back
-        tx1T = x0[None, :] + j1[:, None] % jnp.maximum(w, 1)[None, :]
-        ty1T = y0[None, :] + j1[:, None] // jnp.maximum(w, 1)[None, :]
-        valid1 &= _tile_keep_mask_T(
-            mean2d, conic, opacity, tx1T, ty1T, tile_px
-        ).T
+        valid1 &= _cull_valid(mean2d, conic, opacity, x0, y0, w, j1, tile_px)
     tid1 = jnp.where(valid1, ty1 * tiles_x + tx1, num_tiles)
     keys1 = (tid1 << depth_bits) | dq[:, None]
     ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
@@ -433,10 +451,6 @@ def _bucketed_pair_keys(
     occupied = slot_ids < n
     sid = jnp.where(occupied, slot_ids, 0)
     j2 = jnp.arange(m2, dtype=jnp.int32)
-    wb_safe = jnp.maximum(w[sid], 1)[:, None]
-    tx2 = x0[sid][:, None] + j2[None, :] % wb_safe
-    ty2 = y0[sid][:, None] + j2[None, :] // wb_safe
-    valid2 = occupied[:, None] & (j2[None, :] < cnt[sid][:, None])
     slotted = big & ~overflowed
     if conic is not None:
         # cull-then-compact: enumerate up to R rect tiles per big Gaussian,
@@ -447,7 +461,7 @@ def _bucketed_pair_keys(
         # mostly invisible) and spill the rest — measured 173k falsely
         # "spilled" pairs on a trained scene. b2 is small, so the [b2, R]
         # candidate grid is cheap where an [N, R] one would not be.
-        r = min(num_tiles, 256)
+        r = min(num_tiles, max(256, m2))
         jr = jnp.arange(r, dtype=jnp.int32)
         wbT = jnp.maximum(w[sid], 1)[None, :]
         txT = x0[sid][None, :] + jr[:, None] % wbT  # [R, b2]
@@ -483,6 +497,10 @@ def _bucketed_pair_keys(
             jnp.where(occupied, jnp.maximum(cnt[sid] - r, 0), 0)
         )
     else:
+        wb_safe = jnp.maximum(w[sid], 1)[:, None]
+        tx2 = x0[sid][:, None] + j2[None, :] % wb_safe
+        ty2 = y0[sid][:, None] + j2[None, :] // wb_safe
+        valid2 = occupied[:, None] & (j2[None, :] < cnt[sid][:, None])
         tid2 = jnp.where(valid2, ty2 * tiles_x + tx2, num_tiles)
         spill_big = jnp.sum(jnp.where(slotted, jnp.maximum(cnt - m2, 0), 0))
     keys2 = (tid2 << depth_bits) | dq[sid][:, None]
@@ -566,11 +584,7 @@ def _pair_sort(
     ty = y0[:, None] + j[None, :] // wsafe
     valid = (j[None, :] < cnt[:, None]) & vis[:, None]
     if conic is not None:
-        txT = x0[None, :] + j[:, None] % jnp.maximum(w, 1)[None, :]
-        tyT = y0[None, :] + j[:, None] // jnp.maximum(w, 1)[None, :]
-        valid &= _tile_keep_mask_T(
-            mean2d, conic, opacity, txT, tyT, tile_px
-        ).T
+        valid &= _cull_valid(mean2d, conic, opacity, x0, y0, w, j, tile_px)
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     keys = (tile_id << depth_bits) | dq[:, None]
     ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], keys.shape)

@@ -145,9 +145,22 @@ class DGESystem:
             if jax.default_backend() in ("tpu", "axon")
             else "jnp"
         )
-        self._render_jit = jax.jit(
+        self._render_jit = self._make_render_jit()
+
+    def _make_render_jit(self):
+        """Gradient-free view render jit, rebuilt whenever the spill ladder
+        changes any binning cap (all loop caps must reach every render the
+        edit round consumes, or origin/edit/validation frames silently
+        truncate at stale caps while training grows them)."""
+        cfg = self.cfg
+        return jax.jit(
             lambda s, c, bg: R.render(
-                s, c, bg, tile_px=cfg.tile_px, max_per_tile=cfg.max_per_tile,
+                s, c, bg, tile_px=cfg.tile_px,
+                max_per_tile=self.loop.max_per_tile,
+                max_tiles_per_gaussian=self.loop.max_tiles_per_gaussian,
+                max_pairs=self.loop.max_pairs,
+                big_capacity=self.loop.big_capacity,
+                tight_cull=self.loop.tight_cull,
                 chunk=cfg.chunk, backend=self._render_backend,
             ).color
         )
@@ -295,7 +308,11 @@ class DGESystem:
                 )
                 m = R.render(
                     self.scene, self.cameras[vid], jnp.zeros(3),
-                    tile_px=cfg.tile_px, max_per_tile=cfg.max_per_tile,
+                    tile_px=cfg.tile_px,
+                    max_per_tile=self.loop.max_per_tile,
+                    max_tiles_per_gaussian=self.loop.max_tiles_per_gaussian,
+                    max_pairs=self.loop.max_pairs,
+                    big_capacity=self.loop.big_capacity,
                     chunk=cfg.chunk, override_color=mask_color,
                 ).color
                 img = img * np.asarray(m[..., :1] > 0.5)
@@ -366,7 +383,13 @@ class DGESystem:
                 outs = [
                     R.render(
                         s, index_cameras(cams_b, i), bg, tile_px=cfg.tile_px,
-                        max_per_tile=cfg.max_per_tile, mean2d_offset=offset,
+                        max_per_tile=self.loop.max_per_tile,
+                        max_tiles_per_gaussian=(
+                            self.loop.max_tiles_per_gaussian),
+                        max_pairs=self.loop.max_pairs,
+                        big_capacity=self.loop.big_capacity,
+                        tight_cull=self.loop.tight_cull,
+                        mean2d_offset=offset,
                         chunk=cfg.chunk, backend=backend,
                     )
                     for i in range(cbs)
@@ -599,17 +622,12 @@ class DGESystem:
             if self.loop.react_to_spill(spill, self.scene.capacity):
                 cfg.max_per_tile = self.loop.max_per_tile
                 self._jit_cache.clear()
-                self._render_jit = jax.jit(
-                    lambda s, c, bg: R.render(
-                        s, c, bg, tile_px=cfg.tile_px,
-                        max_per_tile=cfg.max_per_tile,
-                        max_pairs=self.loop.max_pairs,
-                        big_capacity=self.loop.big_capacity,
-                        chunk=cfg.chunk, backend=self._render_backend,
-                    ).color
-                )
+                self._render_jit = self._make_render_jit()
                 log_fn(
-                    f"step {step}: binning spill persisted — caps grown to "
+                    f"step {step}: binning spill persisted — ladder now "
+                    f"tight_cull={self.loop.tight_cull} "
+                    f"max_tiles_per_gaussian="
+                    f"{self.loop.max_tiles_per_gaussian} "
                     f"max_per_tile={cfg.max_per_tile} "
                     f"max_pairs={self.loop.max_pairs} "
                     f"big_capacity={self.loop.big_capacity}"

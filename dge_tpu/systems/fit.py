@@ -258,13 +258,20 @@ class FitLoop:
         )
 
     def react_to_spill(self, spill: int, capacity: int) -> bool:
-        """Adaptive binning caps: persistent spill means the scene outgrew
-        max_per_tile / the pair stream / the bucketed big-Gaussian slots —
-        double all three and rebuild the jitted step (re-jit boundary).
-        Training against truncated tile lists silently corrupts the scene
-        (hit in practice: a densified 256^2 fit trained at spill ~200k
-        evaluated 18 dB below its train PSNR). Returns True when caps
-        changed."""
+        """Adaptive spill ladder: persistent spill means the binning caps no
+        longer fit the scene. Rungs, cheapest first: (1) enable exact tight
+        tile culling (stops counting/emitting invisible pairs — with the
+        bucketed cull-then-compact path this also makes the per-Gaussian
+        spill term honest); (2) double max_tiles_per_gaussian (big splats
+        genuinely intersect more tiles than the slot cap); (3) double
+        max_per_tile / max_pairs / big_capacity. Each rung rebuilds the
+        jitted step (re-jit boundary). Training against truncated tile
+        lists silently corrupts the scene (hit in practice: a densified
+        256^2 fit trained at spill ~200k evaluated 18 dB below its train
+        PSNR). NB on the non-bucketed (per-tile-list / jnp) paths the
+        per-Gaussian term still counts raw rect tiles beyond the cap, so
+        post-cull spill is conservative there; growth is bounded by the
+        rung ceilings. Returns True when anything changed."""
         if spill <= 0:
             self._spill_streak = 0
             return False

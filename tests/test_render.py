@@ -492,3 +492,81 @@ class TestTightCulling:
             la = ids_a[int(a.starts[t]):int(a.starts[t]) + int(a.counts[t])]
             lb = ids_b[int(b.starts[t]):int(b.starts[t]) + int(b.counts[t])]
             assert set(la) <= set(lb)
+
+    def test_margin_covers_kernel_roundoff_high_aspect(self, rng):
+        """The compositor groups the power as -0.5*(a dx^2 + c dy^2) -
+        b dx dy while the cull minimizes a u^2 + 2b uv + c v^2; for
+        high-aspect conics the terms cancel catastrophically and the two
+        f32 evaluations diverge by far more than a fixed epsilon
+        (observed 2.7e-3 at aspect ~136; the qabs-proportional margin term
+        covers it with ~100x headroom). Opacities here are TUNED so every
+        (Gaussian, target-tile) pair sits within a few 1e-3 of the cull
+        threshold, maximizing sensitivity to the invariant: no culled pair
+        may have a pixel the f32 kernel composites."""
+        from dge_tpu.ops import binning
+
+        n = 4096
+        tile_px = 16
+        tiles = 8  # 128^2 image
+        lam1 = rng.uniform(0.2, 0.6, size=n).astype(np.float32)
+        aspect = rng.uniform(30.0, 500.0, size=n).astype(np.float32)
+        lam2 = lam1 / aspect
+        th = rng.uniform(0, np.pi, size=n).astype(np.float32)
+        ct, st = np.cos(th), np.sin(th)
+        a = (lam1 * ct * ct + lam2 * st * st).astype(np.float32)
+        c = (lam1 * st * st + lam2 * ct * ct).astype(np.float32)
+        b = ((lam1 - lam2) * ct * st).astype(np.float32)
+        m_np = rng.uniform(-40, 168, size=(n, 2)).astype(np.float32)
+
+        # f64 pixel-grid min q of one random target tile per Gaussian, with
+        # kernel grouping; tune opacity so qcut lands within +-5e-3 of it
+        ttile = rng.integers(0, tiles * tiles, size=n)
+        px = np.arange(tile_px, dtype=np.float64)
+        gx, gy = np.meshgrid(px, px)
+        x0 = (ttile % tiles) * tile_px
+        y0 = (ttile // tiles) * tile_px
+        dx = m_np[:, 0, None, None].astype(np.float64) - (x0[:, None, None] + gx)
+        dy = m_np[:, 1, None, None].astype(np.float64) - (y0[:, None, None] + gy)
+        q64 = (a[:, None, None].astype(np.float64) * dx * dx
+               + 2.0 * b[:, None, None].astype(np.float64) * dx * dy
+               + c[:, None, None].astype(np.float64) * dy * dy)
+        qmin64 = np.maximum(q64.min(axis=(1, 2)), 0.0)
+        eps = rng.uniform(-5e-3, 5e-3, size=n)
+        opacity = np.clip(
+            np.exp((qmin64 + eps) / 2.0) / 255.0, 1e-6, 0.999
+        ).astype(np.float32)
+
+        conic = jnp.asarray(np.stack([a, b, c], 1))
+        mean2d = jnp.asarray(m_np)
+        nt = tiles * tiles
+        tx = jnp.broadcast_to(jnp.arange(nt) % tiles, (n, nt))
+        ty = jnp.broadcast_to(jnp.arange(nt) // tiles, (n, nt))
+        keep = np.asarray(binning.tile_keep_mask(
+            mean2d, conic, jnp.asarray(opacity), tx, ty, tile_px))
+
+        # kernel-f32 max alpha per CULLED (gaussian, tile): must be < 1/255
+        pxf = np.arange(tile_px, dtype=np.float32)
+        gxf, gyf = np.meshgrid(pxf, pxf)
+        violations = 0
+        culled_checked = 0
+        for t in range(nt):
+            xt = (t % tiles) * tile_px
+            yt = (t // tiles) * tile_px
+            rows = np.where(~keep[:, t])[0]
+            if rows.size == 0:
+                continue
+            dxf = (m_np[rows, 0, None, None] - (xt + gxf)[None]).astype(np.float32)
+            dyf = (m_np[rows, 1, None, None] - (yt + gyf)[None]).astype(np.float32)
+            power = (
+                np.float32(-0.5)
+                * (a[rows, None, None] * dxf * dxf
+                   + c[rows, None, None] * dyf * dyf)
+                - b[rows, None, None] * dxf * dyf
+            ).astype(np.float32)
+            power = np.minimum(power, 0.0)  # kernel skips power > 0
+            amax = (opacity[rows, None, None]
+                    * np.exp(power)).max(axis=(1, 2))
+            violations += int((amax >= 1.0 / 255.0).sum())
+            culled_checked += rows.size
+        assert culled_checked > 10000  # the sweep must actually cull
+        assert violations == 0, f"{violations} culled-but-compositable pairs"
