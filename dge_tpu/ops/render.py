@@ -150,10 +150,15 @@ def render(
             big_capacity=big_capacity,
             **cull_kw,
         )
-        color, depth, final_t = pallas_composite.composite_pairs_pallas(
-            pb.pair_ids,
-            pb.starts,
-            pb.counts,
+        # block-aligned stream: kernel cells scale with actual pairs, not
+        # num_tiles * max_per_tile (see composite_stream_pallas)
+        ap = binning.align_pairs(
+            pb, chunk=max(chunk, 128), id_sentinel=scene.capacity
+        )
+        color, depth, final_t = pallas_composite.composite_stream_pallas(
+            ap.ids,
+            ap.block_tile,
+            ap.n_real_blocks,
             mean2d,
             prep.conic,
             prep.rgb,
@@ -165,7 +170,6 @@ def render(
             tiles_y=pb.tiles_y,
             tile_px=tile_px,
             bg=bg,
-            max_per_tile=max_per_tile,
             chunk=max(chunk, 128),
         )
         return RenderOut(
