@@ -198,6 +198,14 @@ class Attention(nn.Module):
         each chunk (register_extended_attention, dge_utils.py:282-356)."""
         q, k, v = self.qkv(x, context)
         if extended_frames:
+            # the chunk reshape below assumes q and k/v share a sequence
+            # length — true only for self-attention. Make the contract
+            # explicit instead of failing inside k.reshape.
+            if context is not None and context.shape[1] != x.shape[1]:
+                raise ValueError(
+                    "extended_frames requires self-attention (context seq "
+                    f"len {context.shape[1]} != query seq len {x.shape[1]})"
+                )
             # within each CFG chunk, every frame attends to all frames' K/V
             # — which is exactly full self-attention over the frames'
             # concatenated tokens. Batch per CFG chunk instead of repeating
@@ -230,7 +238,8 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU uses exact (erf) gelu; flax default is tanh-approx
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
@@ -326,7 +335,8 @@ class BasicTransformerBlock(nn.Module):
         attn1 = Attention(
             self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
         )
-        norm_h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # torch LayerNorm default eps is 1e-5 (diffusers BasicTransformerBlock)
+        norm_h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         if mode == "plain":
             attn_out = attn1(norm_h)
@@ -344,7 +354,7 @@ class BasicTransformerBlock(nn.Module):
             raise ValueError(f"unknown attention mode {mode}")
 
         x = x + attn_out
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             self.dim,
             self.heads,
@@ -353,7 +363,7 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn2",
         )(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
@@ -475,15 +485,26 @@ class ResnetBlock2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 conv downsampler. diffusers semantics: the VAE encoder
+    builds it with padding=0 and applies an asymmetric (0,1,0,1) pad in
+    forward; the SD UNet builds it with padding=1 (symmetric). Same output
+    shape on even inputs but DIFFERENT window alignment — converted UNet
+    weights are wrong under the asymmetric pad (caught by the torch
+    activation-parity tests, tests/test_block_parity.py)."""
+
     channels: int
+    padding: int = 0  # 0 = asymmetric (0,1,0,1) pad (VAE); 1 = symmetric (UNet)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # diffusers pads (0,1,0,1) for stride-2 conv
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = self.padding
         return nn.Conv(
-            self.channels, (3, 3), strides=2, padding="VALID", dtype=self.dtype,
+            self.channels, (3, 3), strides=2, padding=pad, dtype=self.dtype,
             name="conv",
         )(x)
 

@@ -109,8 +109,11 @@ class UNet2DConditionModel(nn.Module):
                     )(h, context, **kw)
                 skips.append(h)
             if not is_final:
+                # SD UNet downsamplers use symmetric padding=1
+                # (diffusers downsample_padding=1), unlike the VAE's
+                # asymmetric (0,1,0,1) pad
                 h = Downsample2D(
-                    ch[i], dtype=self.dtype,
+                    ch[i], padding=1, dtype=self.dtype,
                     name=f"down_blocks_{i}_downsamplers_0",
                 )(h)
                 skips.append(h)

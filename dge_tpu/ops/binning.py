@@ -461,7 +461,10 @@ def _bucketed_pair_keys(
         # mostly invisible) and spill the rest — measured 173k falsely
         # "spilled" pairs on a trained scene. b2 is small, so the [b2, R]
         # candidate grid is cheap where an [N, R] one would not be.
-        r = min(num_tiles, max(256, m2))
+        # 2*m2 candidate headroom so the ladder's max_tiles_per_gaussian
+        # growth keeps buying inspected rect tiles past 256 (a rect larger
+        # than r would otherwise spill its tail uninspected forever)
+        r = min(num_tiles, max(256, 2 * m2))
         jr = jnp.arange(r, dtype=jnp.int32)
         wbT = jnp.maximum(w[sid], 1)[None, :]
         txT = x0[sid][None, :] + jr[:, None] % wbT  # [R, b2]
@@ -663,7 +666,12 @@ def align_pairs(pb: PairBins, chunk: int, id_sentinel: int) -> AlignedPairs:
     aligned_starts = blk_start * chunk
     n_real_blocks = blk_start[-1] + nblk[-1]
     pc = pb.pair_ids.shape[0]
-    p_pad = pc + t * chunk  # static bound: sum(ceil) * chunk <= pc + T*chunk
+    # round the stream up to a chunk multiple: a user-supplied max_pairs
+    # that is not a multiple of chunk would otherwise trip the kernel's
+    # ids.shape % chunk == 0 contract (auto caps are powers of two, but
+    # explicit odd caps are legal)
+    pc_al = -(-pc // chunk) * chunk
+    p_pad = pc_al + t * chunk  # static bound: sum(ceil) * chunk <= pc + T*chunk
     nb = p_pad // chunk
     # search per BLOCK (nb rows), then expand per position by gather — a
     # position-level searchsorted over the whole padded stream measured

@@ -133,7 +133,7 @@ def render(
             spill=pb.spill,
         )
 
-    if backend == "pallas_stream":
+    if backend in ("pallas_stream", "pallas_blocks"):
         from dge_tpu.ops import pallas_composite
 
         pb = binning.bin_gaussians_pairs(
@@ -150,28 +150,52 @@ def render(
             big_capacity=big_capacity,
             **cull_kw,
         )
-        # block-aligned stream: kernel cells scale with actual pairs, not
-        # num_tiles * max_per_tile (see composite_stream_pallas)
-        ap = binning.align_pairs(
-            pb, chunk=max(chunk, 128), id_sentinel=scene.capacity
-        )
-        color, depth, final_t = pallas_composite.composite_stream_pallas(
-            ap.ids,
-            ap.block_tile,
-            ap.n_real_blocks,
-            mean2d,
-            prep.conic,
-            prep.rgb,
-            prep.depth,
-            prep.opacity,
-            height=cam.height,
-            width=cam.width,
-            tiles_x=pb.tiles_x,
-            tiles_y=pb.tiles_y,
-            tile_px=tile_px,
-            bg=bg,
-            chunk=max(chunk, 128),
-        )
+        if backend == "pallas_blocks":
+            # block-aligned stream: kernel cells scale with actual pairs,
+            # not num_tiles * max_per_tile — wins only under heavy tile-load
+            # skew (see composite_stream_pallas docstring). Measured 23.8 ms
+            # vs 9.9 ms for composite_pairs_pallas at the 131k/512^2 bench
+            # point, so it is opt-in, NOT the pallas_stream default
+            # (round-2 regression: BENCH_r02 42.3 fps).
+            ap = binning.align_pairs(
+                pb, chunk=max(chunk, 128), id_sentinel=scene.capacity
+            )
+            color, depth, final_t = pallas_composite.composite_stream_pallas(
+                ap.ids,
+                ap.block_tile,
+                ap.n_real_blocks,
+                mean2d,
+                prep.conic,
+                prep.rgb,
+                prep.depth,
+                prep.opacity,
+                height=cam.height,
+                width=cam.width,
+                tiles_x=pb.tiles_x,
+                tiles_y=pb.tiles_y,
+                tile_px=tile_px,
+                bg=bg,
+                chunk=max(chunk, 128),
+            )
+        else:
+            color, depth, final_t = pallas_composite.composite_pairs_pallas(
+                pb.pair_ids,
+                pb.starts,
+                pb.counts,
+                mean2d,
+                prep.conic,
+                prep.rgb,
+                prep.depth,
+                prep.opacity,
+                height=cam.height,
+                width=cam.width,
+                tiles_x=pb.tiles_x,
+                tiles_y=pb.tiles_y,
+                tile_px=tile_px,
+                bg=bg,
+                max_per_tile=max_per_tile,
+                chunk=max(chunk, 128),
+            )
         return RenderOut(
             color=color,
             depth=depth,

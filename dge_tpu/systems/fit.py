@@ -262,9 +262,11 @@ class FitLoop:
         longer fit the scene. Rungs, cheapest first: (1) enable exact tight
         tile culling (stops counting/emitting invisible pairs — with the
         bucketed cull-then-compact path this also makes the per-Gaussian
-        spill term honest); (2) double max_tiles_per_gaussian (big splats
-        genuinely intersect more tiles than the slot cap); (3) double
-        max_per_tile / max_pairs / big_capacity. Each rung rebuilds the
+        spill term honest); (2) if spill persists after culling, ALL caps
+        grow together in one rung — max_tiles_per_gaussian,
+        max_per_tile, max_pairs, big_capacity each double (up to their
+        ceilings) — trading one big re-jit for fewer total re-jits than a
+        strictly sequential ladder. Each rung rebuilds the
         jitted step (re-jit boundary). Training against truncated tile
         lists silently corrupts the scene (hit in practice: a densified
         256^2 fit trained at spill ~200k evaluated 18 dB below its train

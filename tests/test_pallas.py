@@ -52,6 +52,27 @@ def test_pallas_stream_matches_jnp(rng):
     assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
 
 
+def test_pallas_blocks_matches_jnp(rng):
+    """Opt-in block-aligned stream kernel (backend="pallas_blocks") parity.
+
+    Kept opt-in after the round-2 regression: at the 131k/512^2 bench point
+    it measured 23.8 ms/frame vs 9.9 ms for the pair-stream default; its
+    design regime is heavy tile-load skew (1080p)."""
+    scene = make_random_scene(rng, n=96)
+    _, cam = make_test_camera(height=32, width=32, angle=1.3)
+    bg = jnp.array([0.3, 0.0, 0.2])
+    ref = render.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=32)
+    # max_pairs deliberately NOT a chunk multiple: align_pairs must round
+    # the stream up instead of tripping the kernel's % chunk contract
+    out = render.render(
+        scene, cam, bg, tile_px=16, max_per_tile=128, max_pairs=1000,
+        backend="pallas_blocks",
+    )
+    assert np.allclose(out.color, ref.color, atol=1e-4)
+    assert np.allclose(out.depth, ref.depth, atol=1e-3)
+    assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
+
+
 class TestPallasTrainBackend:
     def test_forward_matches(self, rng):
         scene = make_random_scene(rng, n=96)
