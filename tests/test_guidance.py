@@ -262,9 +262,17 @@ class TestBatchedReuse:
             np.abs(np.asarray(out_loop) - np.asarray(out_vmap)).max()
         )
 
-    def test_shard_mode_runs(self, rng):
-        out = self._run("shard", rng)
-        assert np.isfinite(np.asarray(out)).all()
+    def test_shard_matches_loop(self, rng):
+        """The view-mesh-sharded reuse path (batch axis over devices, pivot
+        K/V replicated — SURVEY.md §2.6's multi-chip edit round) must agree
+        NUMERICALLY with the sequential loop, on the 8-virtual-device CPU
+        mesh (VERDICT r2 item 5 — the strong claim the old smoke test
+        didn't make)."""
+        out_loop = self._run("loop", rng)
+        out_shard = self._run("shard", rng)
+        assert np.allclose(out_loop, out_shard, atol=2e-4), (
+            np.abs(np.asarray(out_loop) - np.asarray(out_shard)).max()
+        )
 
     def test_banded_matches_dense_end_to_end(self, rng):
         """The banded epipolar path must reproduce the dense-mask edit
