@@ -85,12 +85,16 @@ def epipolar_distances(
     F: jnp.ndarray, height: int, width: int
 ) -> jnp.ndarray:
     """[S2, S1] distances from every cam1 pixel to the epipolar line of every
-    cam2 pixel (point_to_line_dist, dge_utils.py:61-71)."""
+    cam2 pixel (point_to_line_dist, dge_utils.py:61-71).
+
+    Computed as |normalized_line . pt| — the SAME operation order as the
+    banded/blockwise path (epipolar_lines + dot), not |line . pt| / norm:
+    the two groupings round differently in f32, and a pixel sitting exactly
+    on the threshold can then flip between the dense oracle and the banded
+    kernel (hit in practice: a tiny-model edit diverged 6e-3 after an
+    unrelated model-numerics fix moved a near-tie)."""
     pts = _pixel_grid(height, width)  # [S, 3]
-    lines = pts @ F  # [S2, 3]: line in cam1 per cam2 pixel
-    num = jnp.abs(lines @ pts.T)  # [S2, S1]
-    den = jnp.linalg.norm(lines[:, :2], axis=1, keepdims=True)
-    return num / jnp.maximum(den, 1e-12)
+    return jnp.abs(epipolar_lines(F, height, width) @ pts.T)  # [S2, S1]
 
 
 def epipolar_lines(F: jnp.ndarray, height: int, width: int) -> jnp.ndarray:

@@ -373,6 +373,7 @@ def bin_gaussians_pairs(
     max_tiles_per_gaussian: int = 32,
     max_pairs: int = 0,
     big_capacity: int = 0,
+    small_slots: int = 4,
     conic: jnp.ndarray = None,
     opacity: jnp.ndarray = None,
 ) -> PairBins:
@@ -389,7 +390,14 @@ def bin_gaussians_pairs(
     FitLoop.react_to_spill. All caps
     (max_pairs, max_per_tile, big_capacity for the bucketed emission)
     report overflow in ``spill``; FitLoop.react_to_spill grows them when
-    spill persists."""
+    spill persists.
+
+    ``small_slots`` is the bucketed emission's small/big threshold (tiles
+    touched before a Gaussian is routed to the compacted big grid). The
+    default 4 covers ~93% of Gaussians at the 512^2 operating point; at
+    1080p the same scene's median rect is 6 tiles (the focal length scales
+    with width), which floods the big grid — small_slots=16 there keeps
+    the big population ~1% with ~2x fewer total sort rows."""
     n = mean2d.shape[0]
     if max_pairs <= 0:
         max_pairs = max(1 << 18, 1 << int(2 * n - 1).bit_length())
@@ -412,6 +420,7 @@ def bin_gaussians_pairs(
         # capacity-N/8 grid with the full 32 slots — identical pair
         # coverage, ~4x fewer sort rows.
         emission="bucketed",
+        small_slots=small_slots,
     )
 
 
@@ -637,65 +646,3 @@ def _pair_sort(
         tiles_y=tiles_y,
     )
 
-
-class AlignedPairs(NamedTuple):
-    """Block-aligned pair stream: every tile's range starts at a multiple
-    of ``chunk`` (sentinel-padded), so a kernel can iterate the stream one
-    block per grid cell — work scales with actual pairs instead of
-    num_tiles * max_per_tile (the (tile, slot) grid pays for worst-case
-    slots on every tile; at 1080p that is ~67k cells for ~3k blocks of
-    real work). Dead capacity beyond the real stream is marked with tile
-    id == num_tiles so kernels skip it without per-pair range tests."""
-
-    ids: jnp.ndarray  # [P_pad] Gaussian ids, sentinel = id_sentinel
-    block_tile: jnp.ndarray  # [P_pad // chunk + 1] tile per block (last = T)
-    n_real_blocks: jnp.ndarray  # scalar int32
-    spill: jnp.ndarray
-    tiles_x: int
-    tiles_y: int
-
-
-def align_pairs(pb: PairBins, chunk: int, id_sentinel: int) -> AlignedPairs:
-    """Re-pack a PairBins stream so each tile's range is chunk-aligned
-    (pure gather — scatter-free). Empty tiles get one all-sentinel block so
-    every output tile is visited exactly once by a block-stream kernel."""
-    t = pb.starts.shape[0]
-    counts = pb.counts
-    nblk = jnp.maximum(-(-counts // chunk), 1)  # [T] >= 1 block per tile
-    blk_start = jnp.cumsum(nblk) - nblk  # exclusive [T]
-    aligned_starts = blk_start * chunk
-    n_real_blocks = blk_start[-1] + nblk[-1]
-    pc = pb.pair_ids.shape[0]
-    # round the stream up to a chunk multiple: a user-supplied max_pairs
-    # that is not a multiple of chunk would otherwise trip the kernel's
-    # ids.shape % chunk == 0 contract (auto caps are powers of two, but
-    # explicit odd caps are legal)
-    pc_al = -(-pc // chunk) * chunk
-    p_pad = pc_al + t * chunk  # static bound: sum(ceil) * chunk <= pc + T*chunk
-    nb = p_pad // chunk
-    # search per BLOCK (nb rows), then expand per position by gather — a
-    # position-level searchsorted over the whole padded stream measured
-    # 34 ms at 295k rows vs ~1 ms this way (aligned blocks never span
-    # tiles, so the block's tile is every position's tile)
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    btile_real = jnp.clip(
-        jnp.searchsorted(blk_start, bidx, side="right") - 1, 0, t - 1
-    ).astype(jnp.int32)
-    j = jnp.arange(p_pad, dtype=jnp.int32)
-    tj = btile_real[j // chunk]
-    off = j - aligned_starts[tj]
-    valid = off < counts[tj]
-    src = jnp.clip(pb.starts[tj] + off, 0, pc - 1)
-    ids = jnp.where(valid, pb.pair_ids[src], id_sentinel)
-    bvalid = bidx < n_real_blocks
-    btile = jnp.where(bvalid, btile_real, t)
-    # one extra sentinel entry so kernels can read block_tile[b + 1]
-    btile = jnp.concatenate([btile, jnp.full((1,), t, jnp.int32)])
-    return AlignedPairs(
-        ids=ids,
-        block_tile=btile.astype(jnp.int32),
-        n_real_blocks=n_real_blocks.astype(jnp.int32),
-        spill=pb.spill,
-        tiles_x=pb.tiles_x,
-        tiles_y=pb.tiles_y,
-    )

@@ -410,190 +410,3 @@ def composite_pairs_pallas(
         return img[:height, :width]
 
     return to_img(color), to_img(rgbd[:, 3, :]), to_img(trans)
-
-
-def _stream_blocks_kernel(
-    btile_ref,  # scalar prefetch [NB + 1] tile per block (sentinel = T)
-    nreal_ref,  # scalar prefetch [1] (used only by the index maps)
-    data_ref,  # [FEAT, chunk] aligned stream block
-    out_ref,  # [T, 8, P] in ANY memory space (HBM) — written by manual DMA
-    trans_scr,
-    color_scr,
-    out_scr,  # [1, 8, P] staging for the per-tile DMA
-    sem,
-    *,
-    tile_px: int,
-    tiles_x: int,
-    num_tiles: int,
-    chunk: int,
-):
-    b = pl.program_id(0)
-    p = tile_px * tile_px
-    t = btile_ref[b]
-    valid_blk = t < num_tiles
-    prev = btile_ref[jnp.maximum(b - 1, 0)]
-    is_first = jnp.logical_or(b == 0, prev != t)
-    # btile has one sentinel entry appended, so b + 1 is always in range
-    is_last = btile_ref[b + 1] != t
-
-    @pl.when(is_first)
-    def _init():
-        trans_scr[...] = jnp.ones_like(trans_scr)
-        color_scr[...] = jnp.zeros_like(color_scr)
-
-    live = jnp.logical_and(valid_blk, jnp.max(trans_scr[0, :]) >= T_EPS)
-
-    @pl.when(live)
-    def _work():
-        data = data_ref[...]  # [FEAT, C]
-        pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-        ox = (t % tiles_x) * tile_px
-        oy = (t // tiles_x) * tile_px
-        px = (ox + pid % tile_px).astype(jnp.float32)
-        py = (oy + pid // tile_px).astype(jnp.float32)
-
-        def row(i):
-            return data[i, :].reshape(chunk, 1)
-
-        a, b_, c = row(_CA), row(_CB), row(_CC)
-        mx, my = row(_MX), row(_MY)
-        dx = mx - px
-        dy = my - py
-        power = -0.5 * (a * dx * dx + c * dy * dy) - b_ * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, row(_OP) * jnp.exp(power))
-        # sentinel pairs carry an all-zero feature column -> alpha == 0;
-        # no per-pair range test needed (the alignment guarantees every
-        # in-block pair belongs to tile t)
-        keep = (power <= 0.0) & (alpha >= ALPHA_EPS)
-        eff = jnp.where(keep, alpha, 0.0)
-        one_minus = 1.0 - eff
-        cp = _hillis_steele_cumprod(one_minus, chunk)
-        ex = cp / one_minus
-        trans = trans_scr[0:1, :]
-        t_hyp = trans * cp
-        applied = (t_hyp >= T_EPS).astype(jnp.float32)
-        w = eff * trans * ex * applied
-        color_scr[...] += jax.lax.dot_general(
-            data[_R:_D + 1, :], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        trans_scr[...] = trans * jnp.min(
-            jnp.where(applied > 0, cp, 1.0), axis=0, keepdims=True
-        )
-
-    @pl.when(jnp.logical_and(is_last, valid_blk))
-    def _write():
-        # a windowed output with a data-dependent index map would force a
-        # flush/stall on every grid cell (measured 6x slowdown); stage the
-        # finished tile in VMEM and DMA it to its HBM slot explicitly
-        out_scr[0, 0:4, :] = color_scr[...]
-        out_scr[0, 4:5, :] = trans_scr[...]
-        out_scr[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
-        cpy = pltpu.make_async_copy(out_scr, out_ref.at[pl.ds(t, 1)], sem)
-        cpy.start()
-        cpy.wait()
-
-
-def composite_stream_pallas(
-    ids: jnp.ndarray,  # [P_pad] aligned Gaussian ids (binning.align_pairs)
-    block_tile: jnp.ndarray,  # [NB + 1]
-    n_real_blocks: jnp.ndarray,  # scalar
-    mean2d: jnp.ndarray,
-    conic: jnp.ndarray,
-    rgb: jnp.ndarray,
-    depth: jnp.ndarray,
-    opac: jnp.ndarray,
-    *,
-    height: int,
-    width: int,
-    tiles_x: int,
-    tiles_y: int,
-    tile_px: int,
-    bg: jnp.ndarray,
-    chunk: int = 128,
-    interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Block-aligned stream composite: grid = one cell per stream block, so
-    kernel invocations scale with ACTUAL pairs (+1 block per tile) instead
-    of num_tiles * max_per_tile — the skewed-tile-load fix (a 1080p frame
-    with avg ~200 but max ~4000 pairs/tile pays 67k (tile, slot) cells in
-    composite_pairs_pallas vs ~5k blocks here). Dead capacity blocks re-DMA
-    the same block (no traffic) and skip all work."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    num_tiles = tiles_x * tiles_y
-    p = tile_px * tile_px
-    p_pad = ids.shape[0]
-    assert p_pad % chunk == 0
-    nb = p_pad // chunk
-
-    feat = jnp.stack(
-        [
-            mean2d[:, 0], mean2d[:, 1],
-            conic[:, 0], conic[:, 1], conic[:, 2],
-            opac,
-            rgb[:, 0], rgb[:, 1], rgb[:, 2],
-            depth,
-        ],
-        axis=0,
-    )
-    # pad rows to FEAT and ONE zero column: the id sentinel (= N) lands
-    # there, giving alpha == 0 rows
-    feat = jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 1)))
-    data = feat[:, ids]  # [FEAT, P_pad]
-
-    kernel = functools.partial(
-        _stream_blocks_kernel,
-        tile_px=tile_px,
-        tiles_x=tiles_x,
-        num_tiles=num_tiles,
-        chunk=chunk,
-    )
-    last_real = nb - 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (FEAT, chunk),
-                # dead blocks re-fetch the last real block: same index on
-                # consecutive cells = no DMA
-                lambda b, bt, nr: (
-                    0, jnp.minimum(b, jnp.minimum(nr[0] - 1, last_real))
-                ),
-            ),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((4, p), jnp.float32),
-            pltpu.VMEM((1, 8, p), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
-        interpret=interpret,
-    )(
-        block_tile.astype(jnp.int32),
-        n_real_blocks.reshape(1).astype(jnp.int32),
-        data,
-    )
-
-    rgbd = out[:, 0:4, :]
-    trans = out[:, 4, :]
-    color = jnp.moveaxis(rgbd[:, 0:3, :], 1, -1)
-    color = color + trans[..., None] * bg[None, None, :]
-
-    def to_img(x):
-        trailing = x.shape[2:]
-        img = x.reshape((tiles_y, tiles_x, tile_px, tile_px) + trailing)
-        img = jnp.swapaxes(img, 1, 2).reshape(
-            (tiles_y * tile_px, tiles_x * tile_px) + trailing
-        )
-        return img[:height, :width]
-
-    return to_img(color), to_img(rgbd[:, 3, :]), to_img(trans)

@@ -45,6 +45,7 @@ def render(
     max_tiles_per_gaussian: int = 32,
     max_pairs: int = 0,
     big_capacity: int = 0,
+    small_slots: int = 4,
     scale_modifier: float = 1.0,
     override_color: Optional[Float[jnp.ndarray, "N 3"]] = None,
     mean2d_offset: Optional[Float[jnp.ndarray, "N 2"]] = None,
@@ -104,6 +105,7 @@ def render(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_pairs=max_pairs,
             big_capacity=big_capacity,
+            small_slots=small_slots,
             **cull_kw,
         )
         color, depth, final_t = pallas_backward.stream_composite(
@@ -133,7 +135,15 @@ def render(
             spill=pb.spill,
         )
 
-    if backend in ("pallas_stream", "pallas_blocks"):
+    if backend == "pallas_stream":
+        # NB a block-aligned stream variant (one kernel cell per real pair
+        # block instead of the (tile, slot) grid) was built and measured in
+        # rounds 2-3: it lost at EVERY operating point — 23.8 vs 9.9 ms at
+        # 131k/512^2, 89.3 vs 43.2 ms at 1080p/tile 32, 49.8 vs 30.2 ms at
+        # 1080p/tile 64 — because its stream re-alignment pass re-gathers
+        # the whole feature stream (structural, not tunable), so it was
+        # deleted (VERDICT r2 item 2). For skewed/high-res loads, grow
+        # tile_px instead (64 at 1080p) — see bench.py.
         from dge_tpu.ops import pallas_composite
 
         pb = binning.bin_gaussians_pairs(
@@ -148,54 +158,27 @@ def render(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_pairs=max_pairs,
             big_capacity=big_capacity,
+            small_slots=small_slots,
             **cull_kw,
         )
-        if backend == "pallas_blocks":
-            # block-aligned stream: kernel cells scale with actual pairs,
-            # not num_tiles * max_per_tile — wins only under heavy tile-load
-            # skew (see composite_stream_pallas docstring). Measured 23.8 ms
-            # vs 9.9 ms for composite_pairs_pallas at the 131k/512^2 bench
-            # point, so it is opt-in, NOT the pallas_stream default
-            # (round-2 regression: BENCH_r02 42.3 fps).
-            ap = binning.align_pairs(
-                pb, chunk=max(chunk, 128), id_sentinel=scene.capacity
-            )
-            color, depth, final_t = pallas_composite.composite_stream_pallas(
-                ap.ids,
-                ap.block_tile,
-                ap.n_real_blocks,
-                mean2d,
-                prep.conic,
-                prep.rgb,
-                prep.depth,
-                prep.opacity,
-                height=cam.height,
-                width=cam.width,
-                tiles_x=pb.tiles_x,
-                tiles_y=pb.tiles_y,
-                tile_px=tile_px,
-                bg=bg,
-                chunk=max(chunk, 128),
-            )
-        else:
-            color, depth, final_t = pallas_composite.composite_pairs_pallas(
-                pb.pair_ids,
-                pb.starts,
-                pb.counts,
-                mean2d,
-                prep.conic,
-                prep.rgb,
-                prep.depth,
-                prep.opacity,
-                height=cam.height,
-                width=cam.width,
-                tiles_x=pb.tiles_x,
-                tiles_y=pb.tiles_y,
-                tile_px=tile_px,
-                bg=bg,
-                max_per_tile=max_per_tile,
-                chunk=max(chunk, 128),
-            )
+        color, depth, final_t = pallas_composite.composite_pairs_pallas(
+            pb.pair_ids,
+            pb.starts,
+            pb.counts,
+            mean2d,
+            prep.conic,
+            prep.rgb,
+            prep.depth,
+            prep.opacity,
+            height=cam.height,
+            width=cam.width,
+            tiles_x=pb.tiles_x,
+            tiles_y=pb.tiles_y,
+            tile_px=tile_px,
+            bg=bg,
+            max_per_tile=max_per_tile,
+            chunk=max(chunk, 128),
+        )
         return RenderOut(
             color=color,
             depth=depth,

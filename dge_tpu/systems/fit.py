@@ -64,6 +64,7 @@ def make_train_step(
     max_tiles_per_gaussian: int = 32,
     max_pairs: int = 0,
     big_capacity: int = 0,
+    small_slots: int = 4,
     chunk: int = 64,
     backend: Optional[str] = None,
     tight_cull: bool = False,
@@ -88,6 +89,7 @@ def make_train_step(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_pairs=max_pairs,
             big_capacity=big_capacity,
+            small_slots=small_slots,
             mean2d_offset=mean2d_offset,
             chunk=chunk,
             backend=backend,
@@ -224,6 +226,9 @@ class FitLoop:
     max_tiles_per_gaussian: int = 32
     max_pairs: int = 0  # 0 = auto (binning scales with capacity)
     big_capacity: int = 0  # 0 = auto (bucketed emission default)
+    # bucketed-emission small/big threshold; grow (16) for >= 1080p fits
+    # where the median rect exceeds 4 tiles (binning.bin_gaussians_pairs)
+    small_slots: int = 4
     chunk: int = 64
     grow_threshold: float = 0.9
     lambda_l1: float = 1.0
@@ -252,6 +257,7 @@ class FitLoop:
             max_tiles_per_gaussian=self.max_tiles_per_gaussian,
             max_pairs=self.max_pairs,
             big_capacity=self.big_capacity,
+            small_slots=self.small_slots,
             chunk=self.chunk,
             backend=self.backend,
             tight_cull=self.tight_cull,
@@ -264,8 +270,8 @@ class FitLoop:
         bucketed cull-then-compact path this also makes the per-Gaussian
         spill term honest); (2) if spill persists after culling, ALL caps
         grow together in one rung — max_tiles_per_gaussian,
-        max_per_tile, max_pairs, big_capacity each double (up to their
-        ceilings) — trading one big re-jit for fewer total re-jits than a
+        max_per_tile, max_pairs, big_capacity, small_slots each double (up
+        to their ceilings) — trading one big re-jit for fewer total re-jits than a
         strictly sequential ladder. Each rung rebuilds the
         jitted step (re-jit boundary). Training against truncated tile
         lists silently corrupts the scene (hit in practice: a densified
@@ -305,6 +311,14 @@ class FitLoop:
         new_big = max(self.big_capacity or auto_big, auto_big) * 2
         if new_big <= capacity:
             self.big_capacity = new_big
+            grew = True
+        if self.small_slots < 32:
+            # a flooded big grid usually means the whole population moved
+            # up a rect-size class (e.g. a high-res fit: median rect is 6
+            # tiles at 1080p) — raising the small/big threshold is far
+            # cheaper than big_capacity x2 forever (rows: N*slots vs
+            # big_cap*max_tiles)
+            self.small_slots *= 2
             grew = True
         if grew:
             self.__post_init__()

@@ -250,6 +250,7 @@ class TestSpillLadder:
         assert loop.react_to_spill(100, 64)
         assert loop.max_tiles_per_gaussian == 2 * m0
         assert loop.max_per_tile == 2 * k0
+        assert loop.small_slots == 8  # bucket threshold grows with the rung
         # spill clearing resets the streak
         assert not loop.react_to_spill(0, 64)
         assert not loop.react_to_spill(100, 64)

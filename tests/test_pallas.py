@@ -52,27 +52,6 @@ def test_pallas_stream_matches_jnp(rng):
     assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
 
 
-def test_pallas_blocks_matches_jnp(rng):
-    """Opt-in block-aligned stream kernel (backend="pallas_blocks") parity.
-
-    Kept opt-in after the round-2 regression: at the 131k/512^2 bench point
-    it measured 23.8 ms/frame vs 9.9 ms for the pair-stream default; its
-    design regime is heavy tile-load skew (1080p)."""
-    scene = make_random_scene(rng, n=96)
-    _, cam = make_test_camera(height=32, width=32, angle=1.3)
-    bg = jnp.array([0.3, 0.0, 0.2])
-    ref = render.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=32)
-    # max_pairs deliberately NOT a chunk multiple: align_pairs must round
-    # the stream up instead of tripping the kernel's % chunk contract
-    out = render.render(
-        scene, cam, bg, tile_px=16, max_per_tile=128, max_pairs=1000,
-        backend="pallas_blocks",
-    )
-    assert np.allclose(out.color, ref.color, atol=1e-4)
-    assert np.allclose(out.depth, ref.depth, atol=1e-3)
-    assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
-
-
 class TestPallasTrainBackend:
     def test_forward_matches(self, rng):
         scene = make_random_scene(rng, n=96)
@@ -142,47 +121,3 @@ def test_pallas_train_offset_grads_match(rng):
     assert np.allclose(g_ref, g_new, atol=2e-3 * scale), (
         np.abs(np.asarray(g_ref) - np.asarray(g_new)).max(), scale
     )
-
-
-def test_stream_blocks_matches_pairs_skewed(rng):
-    """Block-aligned stream kernel vs the (tile, slot) pair kernel on a
-    SKEWED load: most Gaussians piled into one corner tile, many tiles
-    empty — exercises per-tile block counts 1..many, the one-sentinel-block
-    empty-tile path, and dead capacity blocks."""
-    from dge_tpu.ops import binning, pallas_composite, projection
-    from tests.conftest import make_random_scene, make_test_camera
-
-    import numpy as np
-
-    scene = make_random_scene(rng, n=192)
-    # pile 3/4 of the gaussians into one corner of the view
-    xyz = np.asarray(scene.xyz).copy()
-    xyz[:144, 0] = xyz[:144, 0] * 0.1 - 1.2
-    xyz[:144, 1] = xyz[:144, 1] * 0.1 + 0.9
-    scene = scene.replace(xyz=jnp.asarray(xyz))
-    _, cam = make_test_camera(height=64, width=64)
-    prep = projection.preprocess(
-        scene.xyz, scene.get_scaling, scene.get_rotation, scene.get_opacity,
-        scene.get_features, scene.alive, cam, scene.active_sh_degree,
-        scene.max_sh_degree,
-    )
-    pb = binning.bin_gaussians_pairs(
-        prep.mean2d, prep.depth, prep.radius, prep.visible,
-        height=64, width=64, tile_px=16, max_per_tile=256,
-    )
-    kw = dict(
-        height=64, width=64, tiles_x=4, tiles_y=4, tile_px=16,
-        bg=jnp.array([0.2, 0.0, 0.4]), chunk=128,
-    )
-    ref = pallas_composite.composite_pairs_pallas(
-        pb.pair_ids, pb.starts, pb.counts, prep.mean2d, prep.conic,
-        prep.rgb, prep.depth, prep.opacity, max_per_tile=256, **kw)
-    ap = binning.align_pairs(pb, chunk=128, id_sentinel=scene.capacity)
-    out = pallas_composite.composite_stream_pallas(
-        ap.ids, ap.block_tile, ap.n_real_blocks, prep.mean2d, prep.conic,
-        prep.rgb, prep.depth, prep.opacity, **kw)
-    # alignment shifts chunk boundaries, so the cumprod association (and
-    # its roundoff) differs slightly — same tolerances as the jnp parity
-    # (depth values are ~4x color scale)
-    for a, b, tol in zip(out, ref, (1e-4, 1e-3, 2e-4)):
-        assert np.allclose(a, b, atol=tol), np.abs(a - b).max()

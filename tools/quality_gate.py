@@ -1,0 +1,106 @@
+"""Standing quality gate: fit the committed capture, eval, assert PSNR.
+
+Runs the config-2 pipeline end to end on the committed 16-view capture
+(outputs/fit_capture — 256^2 renders of a synthesized scene + COLMAP sparse
+model): `launch --fit` (6000 Adam steps with densification) then
+`launch --validate` (render all views, PSNR/SSIM/LPIPS via ops/metrics), and
+FAILS (exit 1) if PSNR drops below the gate — the regression tripwire
+VERDICT r2 item 6 asked for. Reference analog of the evaluated quantities:
+gaussiansplatting/metrics.py:36-93.
+
+Measured reference point (round 2, commit 341f89d): PSNR 42.36 / SSIM 0.992
+/ LPIPS 6e-5 at 13.9k Gaussians. Gate threshold 40 dB leaves ~2 dB for
+seed/jit noise while still catching any real regression (binning caps,
+densify, optimizer surgery — the historical failures were 18-24 dB class).
+
+Usage: python tools/quality_gate.py [--steps 6000] [--min-psnr 40]
+Writes outputs/quality_gate/<ts>/ {fit trial, eval/results.json} and prints
+one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _newest(pattern: str) -> str:
+    paths = glob.glob(pattern)
+    if not paths:
+        sys.exit(f"[quality_gate] expected output missing: {pattern}")
+    return max(paths, key=os.path.getmtime)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--min-psnr", type=float, default=40.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "outputs", "quality_gate"))
+    args = ap.parse_args(argv)
+
+    src = os.path.join(REPO, "outputs", "fit_capture")
+    cfg = os.path.join(src, "cfg.yaml")
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    out_root = os.path.join(args.out, stamp)
+    os.makedirs(out_root, exist_ok=True)
+
+    env = dict(os.environ)
+    t0 = time.time()
+    fit_cmd = [
+        sys.executable, os.path.join(REPO, "launch.py"), "--fit",
+        "--source", src, "--out", out_root, "--config", cfg,
+        f"trainer.max_steps={args.steps}",
+    ]
+    print("[quality_gate]", " ".join(fit_cmd), flush=True)
+    if subprocess.run(fit_cmd, env=env, cwd=REPO).returncode != 0:
+        sys.exit("[quality_gate] fit FAILED")
+    fit_s = time.time() - t0
+
+    ply = _newest(os.path.join(out_root, "fitdemo", "*", "point_cloud.ply"))
+    val_cmd = [
+        sys.executable, os.path.join(REPO, "launch.py"), "--validate",
+        "--gs_source", ply, "--source", src,
+        "--out", out_root, "--config", cfg,
+    ]
+    print("[quality_gate]", " ".join(val_cmd), flush=True)
+    if subprocess.run(val_cmd, env=env, cwd=REPO).returncode != 0:
+        sys.exit("[quality_gate] validate FAILED")
+
+    results_path = _newest(
+        os.path.join(out_root, "fitdemo", "*", "eval", "results.json")
+    )
+    with open(results_path) as f:
+        res = json.load(f)["fit_capture"]
+
+    summary = {
+        "psnr": round(res["psnr"], 3),
+        "ssim": round(res["ssim"], 4),
+        "lpips": round(res["lpips"], 6),
+        "n_gaussians": res["n_gaussians"],
+        "steps": args.steps,
+        "fit_s": round(fit_s, 1),
+        "min_psnr": args.min_psnr,
+        "pass": bool(res["psnr"] >= args.min_psnr),
+        "results_json": os.path.relpath(results_path, REPO),
+    }
+    print(json.dumps(summary))
+    if not summary["pass"]:
+        print(
+            f"[quality_gate] FAIL: PSNR {res['psnr']:.2f} < {args.min_psnr}",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"[quality_gate] PASS: PSNR {res['psnr']:.2f} >= {args.min_psnr}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
