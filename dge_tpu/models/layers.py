@@ -455,14 +455,20 @@ class Transformer2DModel(nn.Module):
 
 
 class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D. ``eps``: the UNet builds its resnets with
+    norm_eps=1e-5 (UNet2DConditionModel default), the VAE with
+    resnet_eps=1e-6 (AutoencoderKL Encoder/Decoder) — a silent 5e-6-class
+    activation skew if shared (caught by tests/test_model_parity.py)."""
+
     out_channels: int
     groups: int = 32
+    eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -472,7 +478,7 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype,
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,

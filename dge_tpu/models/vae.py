@@ -76,18 +76,18 @@ class Encoder(nn.Module):
         for i in range(len(ch)):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(
-                    ch[i], groups=cfg.norm_groups, dtype=self.dtype,
+                    ch[i], groups=cfg.norm_groups, eps=1e-6, dtype=self.dtype,
                     name=f"down_blocks_{i}_resnets_{j}"
                 )(h)
             if i != len(ch) - 1:
                 h = Downsample2D(
                     ch[i], dtype=self.dtype, name=f"down_blocks_{i}_downsamplers_0"
                 )(h)
-        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, eps=1e-6, dtype=self.dtype,
                       name="mid_block_resnets_0")(h)
         h = VAEAttention(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
                          name="mid_block_attentions_0")(h)
-        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, eps=1e-6, dtype=self.dtype,
                       name="mid_block_resnets_1")(h)
         h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(h)
@@ -114,18 +114,18 @@ class Decoder(nn.Module):
             cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
         )(z)
         h = nn.Conv(ch[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, eps=1e-6, dtype=self.dtype,
                       name="mid_block_resnets_0")(h)
         h = VAEAttention(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
                          name="mid_block_attentions_0")(h)
-        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, dtype=self.dtype,
+        h = ResnetBlock2D(ch[-1], groups=cfg.norm_groups, eps=1e-6, dtype=self.dtype,
                       name="mid_block_resnets_1")(h)
         # up path: reversed channels, layers_per_block+1 resnets each
         for i in range(len(ch)):
             ch_i = ch[len(ch) - 1 - i]
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(
-                    ch_i, groups=cfg.norm_groups, dtype=self.dtype,
+                    ch_i, groups=cfg.norm_groups, eps=1e-6, dtype=self.dtype,
                     name=f"up_blocks_{i}_resnets_{j}"
                 )(h)
             if i != len(ch) - 1:

@@ -68,21 +68,24 @@ def _prefixed_sd(module: tnn.Module, prefix: str):
 
 
 class TorchResnetBlock2D(tnn.Module):
-    def __init__(self, cin, cout, temb_dim=1280):
+    def __init__(self, cin, cout, temb_dim=1280, groups=32, eps=1e-5):
         super().__init__()
-        self.norm1 = tnn.GroupNorm(32, cin, eps=1e-5)
+        self.norm1 = tnn.GroupNorm(groups, cin, eps=eps)
         self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
-        self.time_emb_proj = tnn.Linear(temb_dim, cout)
-        self.norm2 = tnn.GroupNorm(32, cout, eps=1e-5)
+        # diffusers VAE resnets have temb_channels=None -> no time_emb_proj
+        if temb_dim:
+            self.time_emb_proj = tnn.Linear(temb_dim, cout)
+        self.norm2 = tnn.GroupNorm(groups, cout, eps=eps)
         self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
         if cin != cout:
             self.conv_shortcut = tnn.Conv2d(cin, cout, 1)
         else:
             self.conv_shortcut = None
 
-    def forward(self, x, temb):
+    def forward(self, x, temb=None):
         h = self.conv1(tF.silu(self.norm1(x)))
-        h = h + self.time_emb_proj(tF.silu(temb))[:, :, None, None]
+        if temb is not None:
+            h = h + self.time_emb_proj(tF.silu(temb))[:, :, None, None]
         h = self.conv2(tF.silu(self.norm2(h)))
         s = x if self.conv_shortcut is None else self.conv_shortcut(x)
         return s + h
@@ -151,9 +154,9 @@ class TorchBasicTransformerBlock(tnn.Module):
 
 
 class TorchTransformer2DModel(tnn.Module):
-    def __init__(self, c, heads, dim_head, ctx_dim):
+    def __init__(self, c, heads, dim_head, ctx_dim, groups=32):
         super().__init__()
-        self.norm = tnn.GroupNorm(32, c, eps=1e-6)
+        self.norm = tnn.GroupNorm(groups, c, eps=1e-6)
         self.proj_in = tnn.Conv2d(c, c, 1)
         self.transformer_blocks = tnn.ModuleList(
             [TorchBasicTransformerBlock(c, heads, dim_head, ctx_dim)]
@@ -171,9 +174,9 @@ class TorchTransformer2DModel(tnn.Module):
 
 
 class TorchVAEAttention(tnn.Module):
-    def __init__(self, c):
+    def __init__(self, c, groups=32):
         super().__init__()
-        self.group_norm = tnn.GroupNorm(32, c, eps=1e-6)
+        self.group_norm = tnn.GroupNorm(groups, c, eps=1e-6)
         self.to_q = tnn.Linear(c, c)
         self.to_k = tnn.Linear(c, c)
         self.to_v = tnn.Linear(c, c)
