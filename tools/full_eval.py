@@ -116,13 +116,38 @@ def main(argv=None):
         scene = G.load_ply(ply)
         cs = DS.ColmapScene(capture, height=args.height, width=args.width)
         bg = jnp.zeros(3)
-        fwd = jax.jit(
-            lambda s, c: R.render(s, c, bg, tile_px=32, max_per_tile=4096).color
-        )
+
+        def make_fwd(mpt, mtg, slots):
+            return jax.jit(
+                lambda s, c: (
+                    lambda o: (o.color, o.spill)
+                )(R.render(s, c, bg, tile_px=32, max_per_tile=mpt,
+                           max_tiles_per_gaussian=mtg, small_slots=slots))
+            )
+
+        # evaluation must not truncate: a FitLoop-trained scene may need
+        # caps the defaults don't cover (training grows them adaptively;
+        # hit in practice — a 6k-step fit evaluated 6 dB below its train
+        # PSNR because eval silently spilled the big Gaussians training
+        # kept). Probe the first camera and double caps until spill == 0.
+        mpt, mtg, slots = 4096, 32, 4
+        fwd = make_fwd(mpt, mtg, slots)
+        probe_cam = CameraArrays.from_camera(cs.cameras[0])
+        for _ in range(4):
+            _, sp = fwd(scene, probe_cam)
+            if int(sp) == 0:
+                break
+            mpt, mtg, slots = mpt * 2, mtg * 2, min(slots * 2, 32)
+            print(f"eval spill {int(sp)}: growing caps to max_per_tile={mpt} "
+                  f"max_tiles_per_gaussian={mtg} small_slots={slots}")
+            fwd = make_fwd(mpt, mtg, slots)
+
         psnrs, ssims, lpipss = [], [], []
+        total_spill = 0
         out_dir = os.path.join(args.out, name, "renders")
         for cam in cs.cameras:
-            img = fwd(scene, CameraArrays.from_camera(cam))
+            img, sp = fwd(scene, CameraArrays.from_camera(cam))
+            total_spill += int(sp)
             saving.save_image(
                 os.path.join(out_dir, cam.image_name + ".png"), np.asarray(img)
             )
@@ -146,6 +171,7 @@ def main(argv=None):
             "lpips": float(np.mean(lpipss)) if lpipss else None,
             "n_views": len(cs.cameras),
             "n_gaussians": int(scene.n_alive),
+            "spill": total_spill,  # nonzero = some view still truncated
         }
         print(name, results[name], flush=True)
     os.makedirs(args.out, exist_ok=True)

@@ -8,10 +8,14 @@ FAILS (exit 1) if PSNR drops below the gate — the regression tripwire
 VERDICT r2 item 6 asked for. Reference analog of the evaluated quantities:
 gaussiansplatting/metrics.py:36-93.
 
-Measured reference point (round 2, commit 341f89d): PSNR 42.36 / SSIM 0.992
-/ LPIPS 6e-5 at 13.9k Gaussians. Gate threshold 40 dB leaves ~2 dB for
-seed/jit noise while still catching any real regression (binning caps,
+Measured reference points: round 2 (commit 341f89d) PSNR 42.36 / SSIM 0.992
+/ LPIPS 6e-5 at 13.9k Gaussians; round 3 PSNR 42.08 / SSIM 0.991 at 14.9k
+(outputs/quality_gate/20260820-053752). Gate threshold 40 dB leaves ~2 dB
+for seed/jit noise while still catching any real regression (binning caps,
 densify, optimizer surgery — the historical failures were 18-24 dB class).
+NB the eval side MUST grow caps until spill == 0 (full_eval.py does): the
+first round-3 run scored 36.47 purely from eval-time truncation of a scene
+whose training had grown caps to mpt=8192/big=1024.
 
 Usage: python tools/quality_gate.py [--steps 6000] [--min-psnr 40]
 Writes outputs/quality_gate/<ts>/ {fit trial, eval/results.json} and prints
