@@ -94,12 +94,17 @@ def bench_render(scene, cam_arr, bg):
         scene.replace(opacity=scene.opacity + 1e-6 * i) for i in range(iters)
     ]
     jax.block_until_ready([s.opacity for s in variants])
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for s in variants:
-        acc = acc + forward(s, cam_arr, bg)
-    float(acc)
-    dt = time.perf_counter() - t0
+    # two timed windows; report the second. The first post-warmup window
+    # carries a one-time ~80 ms relay/dispatch cost (measured: the same
+    # step reads 48.6 ms in window 1, 38 ms thereafter) that is not
+    # per-frame device time.
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for s in variants:
+            acc = acc + forward(s, cam_arr, bg)
+        float(acc)
+        dt = time.perf_counter() - t0
     return iters / dt
 
 
@@ -147,13 +152,16 @@ def bench_render_1080p(scene, bg):
         scene.replace(opacity=scene.opacity + 1e-6 * i) for i in range(iters)
     ]
     jax.block_until_ready([s.opacity for s in variants])
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for s in variants:
-        r, _ = forward(s, cam_arr, bg)
-        acc = acc + r
-    float(acc)
-    dt = time.perf_counter() - t0
+    # two windows, report the second (see bench_render on the one-time
+    # first-window relay cost)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for s in variants:
+            r, _ = forward(s, cam_arr, bg)
+            acc = acc + r
+        float(acc)
+        dt = time.perf_counter() - t0
     return iters / dt, spill
 
 
@@ -178,12 +186,18 @@ def bench_train_step(scene, cam_arr, bg):
     for _ in range(3):  # compile + warm
         s, o, f, aux = step(s, o, f, cam_arr, target, bg)
     _sync(aux["loss"])
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s, o, f, aux = step(s, o, f, cam_arr, target, bg)
-    _sync(s.xyz)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    # two windows, report the second: the first post-warmup window carries
+    # a one-time ~80 ms relay/dispatch cost (measured 48.6 vs 38.1 ms/step
+    # for the identical chained step), and the single end-of-window sync
+    # (~30 ms relay RTT) amortizes over iters — 30 iters keeps that < 1 ms.
+    iters = 30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, o, f, aux = step(s, o, f, cam_arr, target, bg)
+        _sync(s.xyz)
+        dt = time.perf_counter() - t0
+    return dt / iters * 1e3  # ms
 
 
 def bench_edit_round():
