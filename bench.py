@@ -2,14 +2,24 @@
 metric, config 1), plus a 1080p render, the config-2 train step, and the
 config-4 full-size edit round.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints a cumulative JSON summary line {"metric", "value", "unit",
+"vs_baseline", "extra"} after EVERY completed section (render -> 1080p ->
+train -> edit sub-steps), each superseding the last — so a driver timeout
+mid-section still leaves the latest completed results parseable
+(BENCH_r03 shipped rc=124/parsed=null because round 3 printed only one
+line at the very end; VERDICT r3 next-round item 1). The edit section is
+additionally wall-clock budgeted: set BENCH_BUDGET_S (default 900) and the
+expensive measured full round is skipped with
+extra["edit_measured"]="skipped:budget" when the remaining budget cannot
+cover it.
+
 ``vs_baseline`` compares the 1080p fps (extra.render_fps_1080p) against the
 only in-repo reference claim — >= 30 fps novel-view rendering at 1080p
 (vendored upstream 3DGS README,
-/root/reference/gaussiansplatting/README.md:16, RTX-class GPU). The
-headline ``value`` stays the 512^2 fps (the DGE working resolution,
-configs/dge.yaml:36, and the metric tracked since round 1); rounds 1-2
-computed vs_baseline from it, apples-to-oranges (VERDICT r2 weak #6).
+/root/reference/gaussiansplatting/README.md:16, RTX-class GPU); it is null
+until the 1080p section completes (never the 512^2 apples-to-oranges
+fallback, ADVICE r3). The headline ``value`` stays the 512^2 fps (the DGE
+working resolution, configs/dge.yaml:36, tracked since round 1).
 
 1080p render config: tile_px=64 (at 1080p the focal length scales with
 width, so the 512^2-tuned 32px tiles see a median 6-tile rect per Gaussian
@@ -29,10 +39,18 @@ spill — measured 30.2 ms vs 43.2 ms per frame, tools/bench_1080p.py).
 
 import json
 import math
+import os
 import sys
 import time
 
 import numpy as np
+
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - T0)
 
 
 def _progress(msg):
@@ -200,12 +218,18 @@ def bench_train_step(scene, cam_arr, bg):
     return dt / iters * 1e3  # ms
 
 
-def bench_edit_round():
+def bench_edit_round(emit_partial=None):
     """Config-4 workload shape: 20 views 512^2, bf16 full-size IP2P UNet,
     camera batch 5, one pivot + 4 reuse passes per DDIM step, banded
     epipolar. Measures VAE encode, steady-state eps-prediction step, VAE
     decode; the 20-step round wall-clock is extrapolated (20 * step +
-    enc + dec)."""
+    enc + dec). ``emit_partial(dict)`` is called with the cumulative edit
+    metrics after each sub-measurement so a timeout mid-section still
+    leaves the completed numbers parsed. The measured full round (the most
+    expensive sub-step: ~4 min compile cold + 2 x ~25 s runs) is skipped
+    when the remaining BENCH_BUDGET_S cannot cover it."""
+    if emit_partial is None:
+        emit_partial = lambda d: None
     import jax
     import jax.numpy as jnp
 
@@ -257,6 +281,7 @@ def bench_edit_round():
     _sync(latents.astype(jnp.float32))
     _sync(cond_lat.astype(jnp.float32))
     t_enc = time.perf_counter() - t0
+    emit_partial({"edit_enc_s": round(t_enc, 3)})
 
     cond_img, _, cond_zero = jnp.split(cond_lat, 3, axis=0)
     neg = emb
@@ -294,6 +319,8 @@ def bench_edit_round():
         )
         _sync(eps.astype(jnp.float32))
     t_step = (time.perf_counter() - t0) / iters
+    emit_partial({"edit_step_s": round(t_step, 3),
+                  "edit_iters_per_s": round(1.0 / t_step, 4)})
 
     _progress("edit: compiling VAE decode...")
     t0 = time.perf_counter()
@@ -306,26 +333,7 @@ def bench_edit_round():
     _sync(imgs.astype(jnp.float32))
     t_dec = time.perf_counter() - t0
 
-    # ONE REAL ROUND, measured end to end (VERDICT r2 item 4): the full
-    # DGEGuidance.__call__ — VAE enc, all 20 DDIM steps from t_start=979
-    # including the t<100 plain-attention tail, scheduler, VAE dec. First
-    # call compiles the remaining plain-attention program; the second is
-    # the steady-state number an edit round actually costs.
-    _progress("edit: full measured round (compiles plain-attn path "
-              "on first run)...")
-    t0 = time.perf_counter()
-    out = g(rgb, cond, emb, emb, cam_batch, jax.random.PRNGKey(9))
-    _sync(out.astype(jnp.float32))
-    round_first = time.perf_counter() - t0
-    _progress(f"edit: round first run {round_first:.0f}s")
-    t0 = time.perf_counter()
-    out = g(rgb, cond, emb, emb, cam_batch, jax.random.PRNGKey(10))
-    _sync(out.astype(jnp.float32))
-    t_round = time.perf_counter() - t0
-    _progress(f"edit: edit_round_s_measured = {t_round:.1f}")
-
-    return {
-        "edit_round_s_measured": round(t_round, 2),
+    out = {
         "edit_enc_s": round(t_enc, 3),
         "edit_step_s": round(t_step, 3),
         "edit_dec_s": round(t_dec, 3),
@@ -334,6 +342,46 @@ def bench_edit_round():
         "edit_compile_s": round(enc_compile + step_compile + dec_compile, 1),
         "edit_shape": "20v x 512^2, bf16 SD1.5-UNet(8ch), cbs=5, banded",
     }
+    emit_partial(dict(out))
+
+    # ONE REAL ROUND, measured end to end (VERDICT r2 item 4): the full
+    # DGEGuidance.__call__ — VAE enc, all 20 DDIM steps from t_start=979
+    # including the t<100 plain-attention tail, scheduler, VAE dec. First
+    # call compiles the remaining plain-attention program; the second is
+    # the steady-state number an edit round actually costs. Budget gate:
+    # two rounds at ~est seconds each plus possible cold compile — require
+    # headroom or skip and keep the extrapolated estimate (VERDICT r3
+    # item 1: a scoreboard that dies on a cold cache is not a scoreboard).
+    need = max(180.0, 3.0 * out["edit_round_s_est"])
+    if _remaining() < need:
+        _progress(
+            f"edit: SKIPPING measured round (remaining budget "
+            f"{_remaining():.0f}s < {need:.0f}s needed)"
+        )
+        out["edit_measured"] = "skipped:budget"
+        return out
+    _progress("edit: full measured round (compiles plain-attn path "
+              "on first run)...")
+    t0 = time.perf_counter()
+    res = g(rgb, cond, emb, emb, cam_batch, jax.random.PRNGKey(9))
+    _sync(res.astype(jnp.float32))
+    round_first = time.perf_counter() - t0
+    _progress(f"edit: round first run {round_first:.0f}s")
+    # the first run doubles as a (compile-inflated) upper bound — record it
+    # so even a budget-skip of the second run leaves a measured number
+    out["edit_round_s_first"] = round(round_first, 2)
+    emit_partial(dict(out))
+    if _remaining() < 1.5 * out["edit_round_s_est"]:
+        _progress("edit: SKIPPING steady-state round (budget)")
+        out["edit_measured"] = "first_run_only:budget"
+        return out
+    t0 = time.perf_counter()
+    res = g(rgb, cond, emb, emb, cam_batch, jax.random.PRNGKey(10))
+    _sync(res.astype(jnp.float32))
+    t_round = time.perf_counter() - t0
+    _progress(f"edit: edit_round_s_measured = {t_round:.1f}")
+    out["edit_round_s_measured"] = round(t_round, 2)
+    return out
 
 
 def main():
@@ -355,11 +403,38 @@ def main():
     cam_arr = CameraArrays.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
+    extra = {
+        "weights": "random (no pretrained ckpt available in container)",
+    }
+
+    def emit(fps_512):
+        """Cumulative summary line; each call supersedes the previous one
+        (the driver keeps the last JSON line it can parse). vs_baseline is
+        null until the honest 1080p number exists — never the 512^2
+        fallback (ADVICE r3)."""
+        fps_1080 = extra.get("render_fps_1080p")
+        print(
+            json.dumps(
+                {
+                    "metric": "render_fps_512_chip",
+                    "value": round(fps_512, 3),
+                    "unit": "frames/s/chip",
+                    # honest baseline: 1080p vs the upstream's 1080p claim
+                    "vs_baseline": (
+                        round(fps_1080 / 30.0, 4)
+                        if fps_1080 is not None else None
+                    ),
+                    "extra": extra,
+                }
+            ),
+            flush=True,
+        )
+
     _progress("render fps...")
     fps = bench_render(scene, cam_arr, bg)
     _progress(f"render fps = {fps:.1f}")
+    emit(fps)
 
-    extra = {}
     try:
         _progress("render 1080p...")
         fps_1080, spill_1080 = bench_render_1080p(scene, bg)
@@ -369,6 +444,7 @@ def main():
     except Exception as e:  # pragma: no cover - diagnostic path
         extra["render_1080p_error"] = f"{type(e).__name__}: {e}"[:200]
         _progress(f"render 1080p FAILED: {extra['render_1080p_error']}")
+    emit(fps)
     try:
         _progress("train step...")
         extra["train_step_ms"] = round(bench_train_step(scene, cam_arr, bg), 2)
@@ -376,30 +452,29 @@ def main():
     except Exception as e:  # pragma: no cover - diagnostic path
         extra["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
         _progress(f"train step FAILED: {extra['train_step_error']}")
-    try:
-        _progress("edit round (full-size bf16 UNet; compiles take minutes "
-                  "on first run)...")
-        extra.update(bench_edit_round())
-        _progress(f"edit_step_s = {extra.get('edit_step_s')}")
-    except Exception as e:  # pragma: no cover - diagnostic path
-        extra["edit_error"] = f"{type(e).__name__}: {e}"[:200]
-        _progress(f"edit round FAILED: {extra['edit_error']}")
-    extra["weights"] = "random (no pretrained ckpt available in container)"
+    emit(fps)
 
-    print(
-        json.dumps(
-            {
-                "metric": "render_fps_512_chip",
-                "value": round(fps, 3),
-                "unit": "frames/s/chip",
-                # honest baseline: 1080p vs the upstream's 1080p claim
-                "vs_baseline": round(
-                    extra.get("render_fps_1080p", fps) / 30.0, 4
-                ),
-                "extra": extra,
-            }
+    def emit_partial(d):
+        extra.update(d)
+        emit(fps)
+
+    if _remaining() < 150:
+        extra["edit_measured"] = "skipped:budget"
+        _progress(
+            f"edit round SKIPPED entirely (remaining budget "
+            f"{_remaining():.0f}s < 150s)"
         )
-    )
+    else:
+        try:
+            _progress("edit round (full-size bf16 UNet; compiles take "
+                      "minutes on first run)...")
+            extra.update(bench_edit_round(emit_partial))
+            _progress(f"edit_step_s = {extra.get('edit_step_s')}")
+        except Exception as e:  # pragma: no cover - diagnostic path
+            extra["edit_error"] = f"{type(e).__name__}: {e}"[:200]
+            _progress(f"edit round FAILED: {extra['edit_error']}")
+    extra["bench_wall_s"] = round(time.perf_counter() - T0, 1)
+    emit(fps)
 
 
 if __name__ == "__main__":

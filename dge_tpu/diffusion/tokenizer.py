@@ -147,13 +147,25 @@ class HashTokenizer:
         return out
 
 
+# tools/ingest_checkpoint.py vendors vocab.json + merges.txt here; once
+# committed, every load_tokenizer() call finds them without configuration.
+# (They cannot be pre-vendored: this container has zero egress and no BPE
+# data ships in any installed package — verified round 4.)
+ASSETS_TOKENIZER_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "assets", "tokenizer"
+)
+
+
 def load_tokenizer(
     tokenizer_dir: Optional[str] = None, max_length: int = 77
 ):
-    """CLIPTokenizer when vocab files exist, else HashTokenizer."""
-    if tokenizer_dir:
-        vp = os.path.join(tokenizer_dir, "vocab.json")
-        mp = os.path.join(tokenizer_dir, "merges.txt")
+    """CLIPTokenizer when vocab files exist (in ``tokenizer_dir`` or the
+    vendored assets dir), else HashTokenizer."""
+    for d in (tokenizer_dir, ASSETS_TOKENIZER_DIR):
+        if not d:
+            continue
+        vp = os.path.join(d, "vocab.json")
+        mp = os.path.join(d, "merges.txt")
         if os.path.exists(vp) and os.path.exists(mp):
             return CLIPTokenizer(vp, mp, max_length)
     return HashTokenizer(max_length=max_length)

@@ -340,10 +340,16 @@ def run_edit(cfg, gs_source, source, trial_dir, seed, smoke=False,
     ckpt_dir = sys_cfg.get("ip2p_checkpoint", None)
     params = None
     if ckpt_dir and os.path.isdir(ckpt_dir):
-        from dge_tpu.diffusion.weights import load_ip2p_checkpoint
+        from dge_tpu.diffusion.weights import is_ingested, load_ingested, \
+            load_ip2p_checkpoint
 
-        log.info("loading IP2P weights from %s", ckpt_dir)
-        params = load_ip2p_checkpoint(ckpt_dir)
+        if is_ingested(ckpt_dir):
+            # orbax cache from tools/ingest_checkpoint.py — no torch needed
+            log.info("loading ingested IP2P weights from %s", ckpt_dir)
+            params = load_ingested(ckpt_dir)
+        else:
+            log.info("loading IP2P weights from %s", ckpt_dir)
+            params = load_ip2p_checkpoint(ckpt_dir)
     elif smoke or cfg.get("system", {}).get("allow_random_weights", False):
         log.warning(
             "SMOKE RUN: no IP2P checkpoint configured "
@@ -382,7 +388,7 @@ def run_edit(cfg, gs_source, source, trial_dir, seed, smoke=False,
         tok = T.load_tokenizer(
             os.path.join(ckpt_dir, "tokenizer") if ckpt_dir else None
         )
-        if ckpt_dir is None or not os.path.isdir(ckpt_dir):
+        if isinstance(tok, T.HashTokenizer):
             log.warning("no tokenizer vocabulary — HashTokenizer ids are "
                         "meaningless (smoke only)")
 

@@ -117,36 +117,86 @@ def main(argv=None):
         cs = DS.ColmapScene(capture, height=args.height, width=args.width)
         bg = jnp.zeros(3)
 
-        def make_fwd(mpt, mtg, slots):
+        def make_fwd(c):
             return jax.jit(
-                lambda s, c: (
+                lambda s, cam: (
                     lambda o: (o.color, o.spill)
-                )(R.render(s, c, bg, tile_px=32, max_per_tile=mpt,
-                           max_tiles_per_gaussian=mtg, small_slots=slots))
+                )(R.render(s, cam, bg, tile_px=32,
+                           max_per_tile=c["mpt"],
+                           max_tiles_per_gaussian=c["mtg"],
+                           small_slots=c["slots"],
+                           max_pairs=c["max_pairs"],
+                           big_capacity=c["big_capacity"]))
             )
+
+        def grow(c, sp):
+            """Double every binning cap together (max_pairs and
+            big_capacity included — training's FitLoop grows those too, so
+            a trained scene can need them above the auto defaults;
+            ADVICE r3)."""
+            c = dict(
+                mpt=c["mpt"] * 2, mtg=c["mtg"] * 2,
+                slots=min(c["slots"] * 2, 32),
+                max_pairs=c["max_pairs"] * 2,
+                big_capacity=c["big_capacity"] * 2,
+            )
+            print(f"eval spill {int(sp)}: growing caps to {c}", flush=True)
+            return c
 
         # evaluation must not truncate: a FitLoop-trained scene may need
         # caps the defaults don't cover (training grows them adaptively;
         # hit in practice — a 6k-step fit evaluated 6 dB below its train
         # PSNR because eval silently spilled the big Gaussians training
         # kept). Probe the first camera and double caps until spill == 0.
-        mpt, mtg, slots = 4096, 32, 4
-        fwd = make_fwd(mpt, mtg, slots)
+        n = int(scene.capacity)
+        caps = dict(
+            mpt=4096, mtg=32, slots=4,
+            # start at the bin_gaussians_pairs auto defaults so the ladder
+            # doubles from where backend defaults would have been
+            max_pairs=max(1 << 18, 1 << int(2 * n - 1).bit_length()),
+            big_capacity=1 << max(int(n // 32 - 1).bit_length(), 6),
+        )
+        fwd = make_fwd(caps)
         probe_cam = CameraArrays.from_camera(cs.cameras[0])
-        for _ in range(4):
+        probe_ok = False
+        for _ in range(6):
             _, sp = fwd(scene, probe_cam)
             if int(sp) == 0:
+                probe_ok = True
                 break
-            mpt, mtg, slots = mpt * 2, mtg * 2, min(slots * 2, 32)
-            print(f"eval spill {int(sp)}: growing caps to max_per_tile={mpt} "
-                  f"max_tiles_per_gaussian={mtg} small_slots={slots}")
-            fwd = make_fwd(mpt, mtg, slots)
+            caps = grow(caps, sp)
+            fwd = make_fwd(caps)
+        if not probe_ok:
+            print(
+                f"[full_eval] WARNING: cap-growth probe for '{name}' exited "
+                f"with spill still nonzero ({int(sp)}) at {caps} — the "
+                "metrics below are computed on TRUNCATED renders",
+                file=sys.stderr, flush=True,
+            )
 
         psnrs, ssims, lpipss = [], [], []
         total_spill = 0
         out_dir = os.path.join(args.out, name, "renders")
         for cam in cs.cameras:
-            img, sp = fwd(scene, CameraArrays.from_camera(cam))
+            ca = CameraArrays.from_camera(cam)
+            img, sp = fwd(scene, ca)
+            # a denser view than the probe camera can still spill — grow
+            # and re-render it rather than scoring a truncated frame
+            # (ADVICE r3)
+            for _ in range(4):
+                if int(sp) == 0:
+                    break
+                print(f"[full_eval] view {cam.image_name} spilled "
+                      f"{int(sp)} — re-probing", flush=True)
+                caps = grow(caps, sp)
+                fwd = make_fwd(caps)
+                img, sp = fwd(scene, ca)
+            if int(sp) > 0:
+                print(
+                    f"[full_eval] WARNING: view {cam.image_name} still "
+                    f"spills {int(sp)} after re-probing — scored truncated",
+                    file=sys.stderr, flush=True,
+                )
             total_spill += int(sp)
             saving.save_image(
                 os.path.join(out_dir, cam.image_name + ".png"), np.asarray(img)

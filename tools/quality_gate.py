@@ -46,8 +46,18 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--min-psnr", type=float, default=40.0)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="per-round tripwire: 1500 steps, gate 28 dB (measured on TPU "
+        "round 4: a clean 1500-step fit of the committed capture lands "
+        "30.89 dB / SSIM 0.961 in 319 s fit wall-clock; historical "
+        "regressions were 18-24 dB class, still caught with margin)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "outputs", "quality_gate"))
     args = ap.parse_args(argv)
+    if args.quick:
+        args.steps = min(args.steps, 1500)
+        args.min_psnr = min(args.min_psnr, 28.0)
 
     src = os.path.join(REPO, "outputs", "fit_capture")
     cfg = os.path.join(src, "cfg.yaml")
@@ -83,6 +93,7 @@ def main(argv=None) -> int:
     with open(results_path) as f:
         res = json.load(f)["fit_capture"]
 
+    spill = int(res.get("spill", 0))
     summary = {
         "psnr": round(res["psnr"], 3),
         "ssim": round(res["ssim"], 4),
@@ -91,18 +102,23 @@ def main(argv=None) -> int:
         "steps": args.steps,
         "fit_s": round(fit_s, 1),
         "min_psnr": args.min_psnr,
-        "pass": bool(res["psnr"] >= args.min_psnr),
+        "spill": spill,
+        # a partially-truncated eval (spill > 0) must not pass even if
+        # PSNR clears the bar — the score would not be the scene's
+        # (ADVICE r3)
+        "pass": bool(res["psnr"] >= args.min_psnr and spill == 0),
         "results_json": os.path.relpath(results_path, REPO),
     }
     print(json.dumps(summary))
     if not summary["pass"]:
         print(
-            f"[quality_gate] FAIL: PSNR {res['psnr']:.2f} < {args.min_psnr}",
+            f"[quality_gate] FAIL: PSNR {res['psnr']:.2f} "
+            f"(gate {args.min_psnr}), eval spill {spill} (gate 0)",
             file=sys.stderr,
         )
         return 1
-    print(f"[quality_gate] PASS: PSNR {res['psnr']:.2f} >= {args.min_psnr}",
-          file=sys.stderr)
+    print(f"[quality_gate] PASS: PSNR {res['psnr']:.2f} >= {args.min_psnr}, "
+          "spill 0", file=sys.stderr)
     return 0
 
 
