@@ -245,7 +245,10 @@ def run_fit(cfg, source, trial_dir, seed):
     w = int(data_cfg.get("width", 512))
     cs = DS.ColmapScene(source, height=h, width=w)
     pts, cols = cs.point_cloud()
-    scene = G.create_from_pcd(pts, cols, max_sh_degree=3)
+    # sh_degree=3 is the vanilla-3DGS default (train.py); DGE edits fit
+    # with sh_degree=0 (DGE.py configure) — configurable for parity
+    sh_deg = int(cfg.get("system", {}).get("sh_degree", 3))
+    scene = G.create_from_pcd(pts, cols, max_sh_degree=sh_deg)
     cams = [CameraArrays.from_camera(c) for c in cs.cameras]
     targets = [
         jnp.asarray(

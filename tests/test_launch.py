@@ -107,6 +107,7 @@ def test_launch_render_matches_capture(synthetic_capture, tmp_path):
     assert psnr > 30.0, psnr
 
 
+@pytest.mark.slow
 def test_launch_train_smoke(synthetic_capture, tmp_path):
     """The FULL CLI edit path end to end on CPU with tiny models: prompt
     processing, guidance edit round, refit with perceptual loss, edit

@@ -45,6 +45,7 @@ class TestUNet:
         out_ext = model.apply({"params": params}, x, t, ctx, mode="extended")
         assert np.allclose(out_plain, out_ext, atol=1e-5)
 
+    @pytest.mark.slow
     def test_extended_multiframe_differs_and_permutes(self, tiny_unet):
         """Extended attention with 2 frames differs from plain, and K/V
         concat makes each frame's output depend on the other frame."""
@@ -280,6 +281,7 @@ class TestChunkedAttention:
 
 
 class TestBF16:
+    @pytest.mark.slow
     def test_unet_bf16_forward(self):
         """bf16 UNet (the TPU production dtype for the edit round)."""
         cfg = UNetConfig.tiny()

@@ -64,6 +64,7 @@ class TestPallasTrainBackend:
         assert np.allclose(out.color, ref.color, atol=1e-4)
         assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
 
+    @pytest.mark.slow
     def test_gradients_match_jnp(self, rng):
         """The Pallas custom-VJP backward must agree with XLA autodiff of
         the jnp compositing (the analytic CUDA backward identity)."""

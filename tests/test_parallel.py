@@ -86,6 +86,7 @@ def test_graft_entry_single_chip():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -229,6 +230,7 @@ def test_gauss_tile_render_matches_single(rng):
     assert int(spill) == int(single.spill) == 0
 
 
+@pytest.mark.slow
 def test_gauss_sharded_preprocess_matches(rng):
     """Gaussian-axis-sharded preprocess == single-device preprocess."""
     from dge_tpu.ops import projection

@@ -74,6 +74,7 @@ class TestForwardVsOracle:
 
 
 class TestGradients:
+    @pytest.mark.slow
     def test_finite_difference_params(self, rng):
         scene = make_random_scene(rng, n=12, capacity=16)
         _, cam = make_test_camera(height=24, width=24)
