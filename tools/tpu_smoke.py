@@ -70,9 +70,14 @@ def main():
         if not ok:
             failures.append(name)
 
+    # NB: cold-cache remote compiles on this box can take minutes with NO
+    # local CPU activity (round-4 measured: 478 s total cold, <30 s warm) —
+    # print progress before each program so silence is diagnosable
+    print("[tpu_smoke] compiling jnp reference render...", flush=True)
     ref = jax.jit(lambda s, c: R.render(s, c, bg, backend="jnp", **kw))(
         scene, cam)
     for be in ("pallas_stream", "pallas"):
+        print(f"[tpu_smoke] compiling {be} render...", flush=True)
         out = jax.jit(lambda s, c, _be=be: R.render(
             s, c, bg, backend=_be, **kw))(scene, cam)
         check(f"{be} color", out.color, ref.color, 1e-4)
@@ -88,6 +93,7 @@ def main():
         rng.uniform(size=(256, 256, 3)).astype(np.float32))
     results = {}
     for be in ("jnp", "pallas_train"):
+        print(f"[tpu_smoke] compiling {be} train step...", flush=True)
         step = F.make_train_step(optimizer, lambda_dssim=0.0,
                                  backend=be, **kw)
         s, o, f = scene, optimizer.init(scene.params()), F.FitState.create(
