@@ -491,7 +491,8 @@ def _clip_edit_metrics(sys_cfg, system, trial_dir):
         )
         return
     from dge_tpu.diffusion import tokenizer as T
-    from dge_tpu.diffusion.weights import load_clip_checkpoint
+    from dge_tpu.diffusion.weights import is_ingested, load_clip_checkpoint, \
+        load_ingested
     from dge_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
     from dge_tpu.models.clip_vision import (
         CLIPVisionConfig,
@@ -500,10 +501,14 @@ def _clip_edit_metrics(sys_cfg, system, trial_dir):
     )
     from dge_tpu.utils import saving
 
-    params = load_clip_checkpoint(ckpt)
+    if is_ingested(ckpt):
+        params = load_ingested(ckpt)
+    else:
+        params = load_clip_checkpoint(ckpt)
     vision = CLIPVisionModel(CLIPVisionConfig())
     text = CLIPTextModel(CLIPTextConfig(projection_dim=768))
-    tok = T.load_tokenizer(ckpt)
+    tok_dir = os.path.join(ckpt, "tokenizer")
+    tok = T.load_tokenizer(tok_dir if os.path.isdir(tok_dir) else ckpt)
     sim = ClipSimilarity(
         vision,
         params["vision"],

@@ -168,3 +168,51 @@ def test_ingest_end_to_end(tmp_path):
     tok = load_tokenizer(os.path.join(out_dir, "tokenizer"), max_length=8)
     assert isinstance(tok, CLIPTokenizer)
     assert list(tok("ab")[0][:3]) == [0, 5, 1]
+
+
+def test_ingest_clip_metrics_tower(tmp_path):
+    """--clip mode: a transformers CLIPModel dir (the edit-quality metrics
+    tower, reference threestudio/utils/clip_metrics.py) ingests to the
+    same orbax format and round-trips exactly."""
+    pytest.importorskip("transformers")
+    from transformers import CLIPConfig, CLIPModel
+
+    from dge_tpu.diffusion.weights import load_clip_checkpoint
+    from tools.ingest_checkpoint import ingest
+
+    cfg = CLIPConfig(
+        text_config={
+            "vocab_size": 100, "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "max_position_embeddings": 16, "hidden_act": "quick_gelu",
+        },
+        vision_config={
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "image_size": 32, "patch_size": 8, "hidden_act": "quick_gelu",
+        },
+        projection_dim=24,
+    )
+    torch.manual_seed(7)
+    model = CLIPModel(cfg).eval()
+    src = tmp_path / "clip_src"
+    os.makedirs(src)
+    torch.save(model.state_dict(), src / "pytorch_model.bin")
+
+    out_dir = ingest(str(src), str(tmp_path / "clip_ingested"),
+                     vendor_tokenizer=False, kind="clip")
+    assert is_ingested(out_dir)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        assert json.load(f)["kind"] == "clip"
+    params = load_ingested(out_dir)
+    direct = load_clip_checkpoint(str(src))
+    import jax
+
+    assert set(params) == {"vision", "text"}
+    for k in direct:
+        flat_d = jax.tree_util.tree_leaves_with_path(direct[k])
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(params[k]))
+        assert len(flat_d) == len(flat_r)
+        for path, leaf in flat_d:
+            np.testing.assert_array_equal(np.asarray(flat_r[path]),
+                                          np.asarray(leaf), err_msg=str(path))

@@ -37,15 +37,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ASSETS_TOKENIZER = os.path.join(REPO, "dge_tpu", "assets", "tokenizer")
 
 
-def ingest(src: str, out: str, vendor_tokenizer: bool = True) -> str:
-    from dge_tpu.diffusion.weights import load_ip2p_checkpoint, save_ingested
+def ingest(src: str, out: str, vendor_tokenizer: bool = True,
+           kind: str = "ip2p") -> str:
+    from dge_tpu.diffusion.weights import (
+        load_clip_checkpoint,
+        load_ip2p_checkpoint,
+        save_ingested,
+    )
 
     src = os.path.abspath(src)
-    print(f"[ingest] converting {src} ...", flush=True)
-    params = load_ip2p_checkpoint(src)
-    out_dir = save_ingested(out, params, {"source": src})
+    print(f"[ingest] converting {src} ({kind}) ...", flush=True)
+    if kind == "clip":
+        # transformers CLIPModel dir (openai/clip-vit-large-patch14) for the
+        # edit-quality metrics tower (system.clip_checkpoint)
+        params = load_clip_checkpoint(src)
+        tok_src = src  # transformers keeps vocab at the checkpoint root
+    else:
+        params = load_ip2p_checkpoint(src)
+        tok_src = os.path.join(src, "tokenizer")
+    out_dir = save_ingested(out, params, {"source": src, "kind": kind})
 
-    tok_src = os.path.join(src, "tokenizer")
     tok_files = [
         p for p in ("vocab.json", "merges.txt")
         if os.path.exists(os.path.join(tok_src, p))
@@ -71,18 +82,26 @@ def ingest(src: str, out: str, vendor_tokenizer: bool = True) -> str:
     print(f"[ingest] wrote {out_dir}: "
           + ", ".join(f"{k}={v/1e6:.1f}M" for k, v in mf["param_counts"].items()),
           flush=True)
-    print(f"[ingest] use with: launch.py --train system.ip2p_checkpoint={out_dir}")
+    cfg_key = "clip_checkpoint" if kind == "clip" else "ip2p_checkpoint"
+    print(f"[ingest] use with: launch.py --train system.{cfg_key}={out_dir}")
     return out_dir
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("src", help="local diffusers InstructPix2Pix checkpoint dir")
-    ap.add_argument("--out", default=os.path.join(REPO, "outputs", "weights", "ip2p"))
+    ap.add_argument("src", help="local diffusers InstructPix2Pix checkpoint "
+                    "dir (or a transformers CLIPModel dir with --clip)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--clip", action="store_true",
+                    help="ingest a transformers CLIPModel (metrics tower, "
+                    "system.clip_checkpoint) instead of an IP2P pipeline")
     ap.add_argument("--no-vendor-tokenizer", action="store_true",
                     help="don't copy the vocab into dge_tpu/assets/tokenizer/")
     args = ap.parse_args(argv)
-    ingest(args.src, args.out, vendor_tokenizer=not args.no_vendor_tokenizer)
+    kind = "clip" if args.clip else "ip2p"
+    out = args.out or os.path.join(REPO, "outputs", "weights", kind)
+    ingest(args.src, out, vendor_tokenizer=not args.no_vendor_tokenizer,
+           kind=kind)
 
 
 if __name__ == "__main__":
