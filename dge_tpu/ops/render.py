@@ -293,6 +293,102 @@ def render_point_cloud(
     return render(scene, cam, bg, **render_kw)
 
 
+class SpillFreeRenderer:
+    """Adaptive-cap renderer for EVAL paths (render CLI, metrics eval,
+    orbit export).
+
+    The static-shape binning truncates when its caps are exceeded
+    (nonzero ``RenderOut.spill``), and FitLoop grows caps adaptively
+    during training — so a trained scene rendered at default caps can
+    silently lose its biggest Gaussians (measured 5.6 dB PSNR loss on a
+    6k-step fit). The CUDA reference can never hit this: it allocates
+    exactly ``num_rendered`` pairs per frame (rasterizer_impl.cu:237).
+    Every evaluation path must therefore probe-and-grow until spill == 0;
+    this class centralizes the ladder (previously inlined in
+    tools/full_eval.py; VERDICT r3 / ADVICE r3).
+
+    Usage::
+
+        r = SpillFreeRenderer(scene, bg, backend="jnp")
+        r.probe(cams[0])              # grow caps on a representative view
+        for cam in cams:
+            color, spill = r(cam)     # re-grows if this view still spills
+
+    Caps double TOGETHER on every rung (max_per_tile,
+    max_tiles_per_gaussian, small_slots<=32, max_pairs, big_capacity) —
+    growing them independently hunts for the binding cap one recompile at
+    a time, and recompiles dominate the cost of over-provisioning.
+    """
+
+    def __init__(self, scene, bg=None, *, log=None, max_grow=6, **render_kw):
+        self._scene = scene
+        self._bg = bg
+        self._max_grow = max_grow
+        self._log = log if log is not None else (lambda msg: None)
+        n = int(scene.capacity)
+        caps = dict(
+            max_per_tile=4096,
+            max_tiles_per_gaussian=32,
+            small_slots=4,
+            # start at the bin_gaussians_pairs auto defaults so the ladder
+            # doubles from where the backend would have started
+            max_pairs=max(1 << 18, 1 << int(2 * n - 1).bit_length()),
+            big_capacity=1 << max(int(n // 32 - 1).bit_length(), 6),
+        )
+        for k in list(caps):
+            if k in render_kw:
+                caps[k] = render_kw.pop(k)
+        self._caps = caps
+        self._kw = render_kw
+        self._fwd = self._make()
+
+    @property
+    def caps(self):
+        return dict(self._caps)
+
+    def _make(self):
+        kw = dict(self._kw, **self._caps)
+        bg = self._bg
+        return jax.jit(
+            lambda s, c: (lambda o: (o.color, o.spill))(render(s, c, bg, **kw))
+        )
+
+    def _grow(self, sp: int):
+        c = self._caps
+        self._caps = dict(
+            max_per_tile=c["max_per_tile"] * 2,
+            max_tiles_per_gaussian=c["max_tiles_per_gaussian"] * 2,
+            small_slots=min(c["small_slots"] * 2, 32),
+            max_pairs=c["max_pairs"] * 2,
+            big_capacity=c["big_capacity"] * 2,
+        )
+        self._log(f"render spill {sp}: growing caps to {self._caps}")
+        self._fwd = self._make()
+
+    def probe(self, cam) -> int:
+        """Grow caps until ``cam`` renders with spill == 0 (or max_grow
+        rungs are exhausted — returns the residual spill, 0 on success)."""
+        sp = 0
+        for _ in range(self._max_grow):
+            _, sp = self._fwd(self._scene, cam)
+            if int(sp) == 0:
+                return 0
+            self._grow(int(sp))
+        return int(sp)
+
+    def __call__(self, cam, regrow: int = 4):
+        """Render one view spill-free, re-growing caps (``regrow`` rungs)
+        if this view is denser than the probe view. Returns (color, spill);
+        spill > 0 only if the ladder was exhausted."""
+        color, sp = self._fwd(self._scene, cam)
+        for _ in range(regrow):
+            if int(sp) == 0:
+                break
+            self._grow(int(sp))
+            color, sp = self._fwd(self._scene, cam)
+        return color, int(sp)
+
+
 def render_weights(
     scene: GaussianScene,
     cam,

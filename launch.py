@@ -175,22 +175,24 @@ def run_render(cfg, gs_source, source, trial_dir):
     log.info("loaded %d gaussians, %d cameras", int(scene.n_alive), len(cams))
 
     bg = jnp.zeros(3)
-    render_jit = jax.jit(
-        lambda s, c: R.render(s, c, bg, tile_px=32, max_per_tile=4096)
-    )
+    # eval paths must not truncate: probe-and-grow binning caps until
+    # spill == 0 (a FitLoop-trained scene can need caps far above the
+    # defaults; previously this path warned and saved truncated frames)
+    renderer = R.SpillFreeRenderer(scene, bg, tile_px=32, log=log.info)
+    renderer.probe(cams[0])
     out_dir = os.path.join(trial_dir, "renders")
     frames = []
     total_spill = 0
     for i, cam in enumerate(cams):
-        out = render_jit(scene, cam)
-        img = np.asarray(out.color)
-        total_spill += int(out.spill)
+        color, sp = renderer(cam)
+        img = np.asarray(color)
+        total_spill += sp
         saving.save_image(os.path.join(out_dir, f"{i:04d}.png"), img)
         frames.append(img)
     if total_spill:
         log.warning(
-            "binning dropped %d (tile, gaussian) pairs — raise max_per_tile "
-            "for exact renders", total_spill,
+            "binning still dropped %d (tile, gaussian) pairs after cap "
+            "growth — renders are truncated", total_spill,
         )
     saving.save_video(os.path.join(trial_dir, "renders.mp4"), frames)
     log.info("wrote %d renders to %s", len(frames), out_dir)

@@ -571,3 +571,42 @@ class TestTightCulling:
             culled_checked += rows.size
         assert culled_checked > 10000  # the sweep must actually cull
         assert violations == 0, f"{violations} culled-but-compositable pairs"
+
+
+class TestSpillFreeRenderer:
+    def test_grows_until_spill_free_and_matches_big_caps(self, rng):
+        """Starting from deliberately tiny caps, the ladder must clear the
+        spill and reproduce a direct render at generous caps exactly."""
+        scene = make_random_scene(rng, n=256)
+        _, cam = make_test_camera(height=64, width=64)
+        bg = jnp.array([0.1, 0.2, 0.3])
+
+        grew = []
+        r = render.SpillFreeRenderer(
+            scene, bg, tile_px=16,
+            # tiny enough that the probe must climb several rungs
+            max_per_tile=4, max_tiles_per_gaussian=4, max_pairs=256,
+            big_capacity=64, log=grew.append,
+        )
+        first = r.caps
+        residual = r.probe(cam)
+        assert residual == 0
+        assert grew, "expected at least one growth rung"
+        assert r.caps["max_per_tile"] > first["max_per_tile"]
+        color, sp = r(cam)
+        assert sp == 0
+
+        ref = render.render(
+            scene, cam, bg, tile_px=16, max_per_tile=2048,
+            max_tiles_per_gaussian=32,
+        )
+        assert int(ref.spill) == 0
+        assert np.allclose(np.asarray(color), np.asarray(ref.color), atol=1e-5)
+
+    def test_no_growth_when_caps_suffice(self, rng):
+        scene = make_random_scene(rng, n=64)
+        _, cam = make_test_camera(height=32, width=32)
+        grew = []
+        r = render.SpillFreeRenderer(scene, None, tile_px=16, log=grew.append)
+        assert r.probe(cam) == 0
+        assert grew == []

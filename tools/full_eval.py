@@ -117,60 +117,23 @@ def main(argv=None):
         cs = DS.ColmapScene(capture, height=args.height, width=args.width)
         bg = jnp.zeros(3)
 
-        def make_fwd(c):
-            return jax.jit(
-                lambda s, cam: (
-                    lambda o: (o.color, o.spill)
-                )(R.render(s, cam, bg, tile_px=32,
-                           max_per_tile=c["mpt"],
-                           max_tiles_per_gaussian=c["mtg"],
-                           small_slots=c["slots"],
-                           max_pairs=c["max_pairs"],
-                           big_capacity=c["big_capacity"]))
-            )
-
-        def grow(c, sp):
-            """Double every binning cap together (max_pairs and
-            big_capacity included — training's FitLoop grows those too, so
-            a trained scene can need them above the auto defaults;
-            ADVICE r3)."""
-            c = dict(
-                mpt=c["mpt"] * 2, mtg=c["mtg"] * 2,
-                slots=min(c["slots"] * 2, 32),
-                max_pairs=c["max_pairs"] * 2,
-                big_capacity=c["big_capacity"] * 2,
-            )
-            print(f"eval spill {int(sp)}: growing caps to {c}", flush=True)
-            return c
-
         # evaluation must not truncate: a FitLoop-trained scene may need
         # caps the defaults don't cover (training grows them adaptively;
         # hit in practice — a 6k-step fit evaluated 6 dB below its train
         # PSNR because eval silently spilled the big Gaussians training
-        # kept). Probe the first camera and double caps until spill == 0.
-        n = int(scene.capacity)
-        caps = dict(
-            mpt=4096, mtg=32, slots=4,
-            # start at the bin_gaussians_pairs auto defaults so the ladder
-            # doubles from where backend defaults would have been
-            max_pairs=max(1 << 18, 1 << int(2 * n - 1).bit_length()),
-            big_capacity=1 << max(int(n // 32 - 1).bit_length(), 6),
+        # kept). SpillFreeRenderer probes the first camera and doubles
+        # every cap together until spill == 0, re-growing on any denser
+        # later view (ops/render.py; previously inlined here).
+        renderer = R.SpillFreeRenderer(
+            scene, bg, tile_px=32,
+            log=lambda m: print(f"[full_eval] {m}", flush=True),
         )
-        fwd = make_fwd(caps)
-        probe_cam = CameraArrays.from_camera(cs.cameras[0])
-        probe_ok = False
-        for _ in range(6):
-            _, sp = fwd(scene, probe_cam)
-            if int(sp) == 0:
-                probe_ok = True
-                break
-            caps = grow(caps, sp)
-            fwd = make_fwd(caps)
-        if not probe_ok:
+        residual = renderer.probe(CameraArrays.from_camera(cs.cameras[0]))
+        if residual:
             print(
                 f"[full_eval] WARNING: cap-growth probe for '{name}' exited "
-                f"with spill still nonzero ({int(sp)}) at {caps} — the "
-                "metrics below are computed on TRUNCATED renders",
+                f"with spill still nonzero ({residual}) at {renderer.caps} — "
+                "the metrics below are computed on TRUNCATED renders",
                 file=sys.stderr, flush=True,
             )
 
@@ -179,18 +142,10 @@ def main(argv=None):
         out_dir = os.path.join(args.out, name, "renders")
         for cam in cs.cameras:
             ca = CameraArrays.from_camera(cam)
-            img, sp = fwd(scene, ca)
-            # a denser view than the probe camera can still spill — grow
-            # and re-render it rather than scoring a truncated frame
-            # (ADVICE r3)
-            for _ in range(4):
-                if int(sp) == 0:
-                    break
-                print(f"[full_eval] view {cam.image_name} spilled "
-                      f"{int(sp)} — re-probing", flush=True)
-                caps = grow(caps, sp)
-                fwd = make_fwd(caps)
-                img, sp = fwd(scene, ca)
+            # a denser view than the probe camera can still spill —
+            # SpillFreeRenderer grows and re-renders it rather than
+            # scoring a truncated frame (ADVICE r3)
+            img, sp = renderer(ca)
             if int(sp) > 0:
                 print(
                     f"[full_eval] WARNING: view {cam.image_name} still "

@@ -48,10 +48,11 @@ def main(argv=None):
 
     backend = "pallas_stream" if jax.default_backend() in ("tpu", "axon") else "jnp"
     bg = jnp.zeros(3)
-    fwd = jax.jit(
-        lambda s, c: R.render(
-            s, c, bg, tile_px=32, max_per_tile=4096, backend=backend
-        ).color
+    # eval path: probe-and-grow caps so trained scenes don't render
+    # truncated (ops/render.SpillFreeRenderer)
+    renderer = R.SpillFreeRenderer(
+        scene, bg, tile_px=32, backend=backend,
+        log=lambda m: print(f"[orbit] {m}", flush=True),
     )
 
     frames = []
@@ -65,7 +66,8 @@ def main(argv=None):
             eye, center, fovx=math.radians(60),
             height=args.height, width=args.width,
         )
-        frames.append(np.asarray(fwd(scene, CameraArrays.from_camera(cam))))
+        color, _ = renderer(CameraArrays.from_camera(cam))
+        frames.append(np.asarray(color))
         if i % 20 == 0:
             print(f"frame {i}/{args.frames}", flush=True)
     out = saving.save_video(args.out, frames, fps=args.fps)

@@ -35,6 +35,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _run_launch(argv, inproc, env):
+    """Run launch.py with argv — as a subprocess, or via launch.main() in
+    this process (--inproc; see that flag's help for why)."""
+    if not inproc:
+        cmd = [sys.executable, os.path.join(REPO, "launch.py")] + argv
+        return subprocess.run(cmd, env=env, cwd=REPO).returncode
+    sys.path.insert(0, REPO)
+    import launch
+
+    try:
+        launch.main(argv)
+        return 0
+    except SystemExit as e:  # launch.main uses sys.exit on usage errors
+        return int(e.code or 0)
+
+
 def _newest(pattern: str) -> str:
     paths = glob.glob(pattern)
     if not paths:
@@ -54,6 +70,16 @@ def main(argv=None) -> int:
         "regressions were 18-24 dB class, still caught with margin)",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "outputs", "quality_gate"))
+    ap.add_argument(
+        "--inproc", action="store_true",
+        help="run fit/validate via launch.main() in THIS process instead of "
+        "subprocesses. The axon plugin claims the single TPU chip per "
+        "process and the remote claim can take 5-8 min to release after a "
+        "holder exits (a too-early starter hangs on a futex, round-4 "
+        "CLAUDE.md runbook) — subprocess chaining starts the validate "
+        "process seconds after the fit process exits, which is exactly the "
+        "hang window. In-process chaining claims the chip once.",
+    )
     args = ap.parse_args(argv)
     if args.quick:
         args.steps = min(args.steps, 1500)
@@ -67,24 +93,22 @@ def main(argv=None) -> int:
 
     env = dict(os.environ)
     t0 = time.time()
-    fit_cmd = [
-        sys.executable, os.path.join(REPO, "launch.py"), "--fit",
-        "--source", src, "--out", out_root, "--config", cfg,
+    fit_args = [
+        "--fit", "--source", src, "--out", out_root, "--config", cfg,
         f"trainer.max_steps={args.steps}",
     ]
-    print("[quality_gate]", " ".join(fit_cmd), flush=True)
-    if subprocess.run(fit_cmd, env=env, cwd=REPO).returncode != 0:
+    print("[quality_gate] launch", " ".join(fit_args), flush=True)
+    if _run_launch(fit_args, args.inproc, env) != 0:
         sys.exit("[quality_gate] fit FAILED")
     fit_s = time.time() - t0
 
     ply = _newest(os.path.join(out_root, "fitdemo", "*", "point_cloud.ply"))
-    val_cmd = [
-        sys.executable, os.path.join(REPO, "launch.py"), "--validate",
-        "--gs_source", ply, "--source", src,
+    val_args = [
+        "--validate", "--gs_source", ply, "--source", src,
         "--out", out_root, "--config", cfg,
     ]
-    print("[quality_gate]", " ".join(val_cmd), flush=True)
-    if subprocess.run(val_cmd, env=env, cwd=REPO).returncode != 0:
+    print("[quality_gate] launch", " ".join(val_args), flush=True)
+    if _run_launch(val_args, args.inproc, env) != 0:
         sys.exit("[quality_gate] validate FAILED")
 
     results_path = _newest(
