@@ -162,19 +162,31 @@ def preprocess(
     f32 = jnp.float32
     xyz = xyz.astype(f32)
 
-    ones = jnp.ones((n, 1), f32)
-    xyz_h = jnp.concatenate([xyz, ones], axis=-1)  # [N,4]
-    p_view = xyz_h @ cam.w2c.T  # [N,4]
-    depth = p_view[:, 2]
+    # expanded row-sum form instead of [N,4] @ [4,4] matmuls: on TPU the
+    # MXU multiplies f32 operands at DEFAULT (bf16-mantissa) precision,
+    # which was measured to move depth by up to 3e-2 and flip ~1e-3 of
+    # visibility decisions vs true f32 on the 131k bench scene — the
+    # per-pixel oracle (and the CUDA reference, forward.cu:189-200) are
+    # full f32. The VPU form is exact f32 and times identically (~2 ms
+    # preprocess either way, round-4 SoA experiment).
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    w = cam.w2c
+    pv0 = x * w[0, 0] + y * w[0, 1] + z * w[0, 2] + w[0, 3]
+    pv1 = x * w[1, 0] + y * w[1, 1] + z * w[1, 2] + w[1, 3]
+    depth = x * w[2, 0] + y * w[2, 1] + z * w[2, 2] + w[2, 3]
     in_front = depth > NEAR_Z
 
-    p_hom = xyz_h @ cam.full_proj.T  # [N,4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
+    fp = cam.full_proj
+    ph0 = x * fp[0, 0] + y * fp[0, 1] + z * fp[0, 2] + fp[0, 3]
+    ph1 = x * fp[1, 0] + y * fp[1, 1] + z * fp[1, 2] + fp[1, 3]
+    ph3 = x * fp[3, 0] + y * fp[3, 1] + z * fp[3, 2] + fp[3, 3]
+    p_w = 1.0 / (ph3 + 1e-7)
 
     cov3d = compute_cov3d(scale, quat, scale_modifier)
     # guard z for culled points to keep math finite
-    safe_view = p_view[:, :3].at[:, 2].set(jnp.where(in_front, depth, 1.0))
+    safe_view = jnp.stack(
+        [pv0, pv1, jnp.where(in_front, depth, 1.0)], axis=-1
+    )
     cov2d = compute_cov2d(
         safe_view,
         cov3d,
@@ -196,7 +208,8 @@ def preprocess(
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
 
     mean2d = jnp.stack(
-        [ndc2pix(p_proj[:, 0], cam.width), ndc2pix(p_proj[:, 1], cam.height)], axis=-1
+        [ndc2pix(ph0 * p_w, cam.width), ndc2pix(ph1 * p_w, cam.height)],
+        axis=-1,
     )
     on_screen = (
         (mean2d[:, 0] + radius > 0)
