@@ -337,7 +337,11 @@ class SpillFreeRenderer:
         )
         for k in list(caps):
             if k in render_kw:
-                caps[k] = render_kw.pop(k)
+                v = render_kw.pop(k)
+                # render()'s 0/None sentinels mean "auto"; storing them
+                # here would make the doubling ladder multiply 0 forever.
+                if v:
+                    caps[k] = v
         self._caps = caps
         self._kw = render_kw
         self._fwd = self._make()

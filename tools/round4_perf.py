@@ -88,6 +88,10 @@ def trained_ab():
             fwd = jax.jit(lambda s, c, _b=dict(base): (
                 lambda o: (o.color.sum(), o.spill)
             )(R.render(s, c, bg, **_b)))
+        else:
+            # ladder exhausted after a final grow: re-probe so the printed
+            # spill corresponds to the caps actually being timed
+            _, sp = fwd(scene, cam)
         sp = int(sp)
         iters = 20
         variants = [scene.replace(opacity=scene.opacity + 1e-6 * i)
