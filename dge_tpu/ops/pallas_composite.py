@@ -311,6 +311,40 @@ def _pairs_kernel(
         out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
 
 
+def assemble_stream_data(
+    pair_ids: jnp.ndarray,  # [Pc] original Gaussian ids (tile-major)
+    mean2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    opac: jnp.ndarray,
+    *,
+    slim: bool = False,
+) -> jnp.ndarray:
+    """Gather per-Gaussian features into pair-stream order → [FEAT, Pc].
+
+    ``slim`` gathers only the 10 real feature rows and pads the result to
+    FEAT=16 afterwards (a cheap bandwidth-bound copy) instead of padding
+    the [10, N] table first and gathering 16 rows — identical output
+    (pad rows are zeros either way), ~37% less random-access gather work.
+    """
+    feat = jnp.stack(
+        [
+            mean2d[:, 0], mean2d[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2],
+            opac,
+            rgb[:, 0], rgb[:, 1], rgb[:, 2],
+            depth,
+        ],
+        axis=0,
+    )
+    if slim:
+        data = feat[:, pair_ids]  # [10, Pc]
+        return jnp.pad(data, ((0, FEAT - feat.shape[0]), (0, 0)))
+    feat = jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 0)))
+    return feat[:, pair_ids]
+
+
 def composite_pairs_pallas(
     pair_ids: jnp.ndarray,  # [P_cap] original Gaussian ids (tile-major)
     starts: jnp.ndarray,  # [T]
@@ -330,6 +364,8 @@ def composite_pairs_pallas(
     max_per_tile: int = 2048,
     chunk: int = 128,
     interpret: bool | None = None,
+    slim_gather: bool = False,
+    data: jnp.ndarray | None = None,  # precomputed [FEAT, Pc] stream
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pair-stream composite: the kernel reads CONTIGUOUS chunks of the
     depth-ordered pair stream per tile (one small gather into stream order,
@@ -344,18 +380,12 @@ def composite_pairs_pallas(
     if pc != p_cap:
         pair_ids = jnp.pad(pair_ids, (0, pc - p_cap))
 
-    feat = jnp.stack(
-        [
-            mean2d[:, 0], mean2d[:, 1],
-            conic[:, 0], conic[:, 1], conic[:, 2],
-            opac,
-            rgb[:, 0], rgb[:, 1], rgb[:, 2],
-            depth,
-        ],
-        axis=0,
-    )
-    feat = jnp.pad(feat, ((0, FEAT - feat.shape[0]), (0, 0)))
-    data = feat[:, pair_ids]  # [FEAT, Pc] — stream-ordered
+    if data is None:
+        data = assemble_stream_data(
+            pair_ids, mean2d, conic, rgb, depth, opac, slim=slim_gather
+        )  # [FEAT, Pc] — stream-ordered
+    elif data.shape[1] != pc:
+        data = jnp.pad(data, ((0, 0), (0, pc - data.shape[1])))
 
     max_blk = pc // chunk - 1
     blocks_per_tile = -(-max_per_tile // chunk) + 1

@@ -52,6 +52,7 @@ def render(
     chunk: int = 64,
     backend: str = "jnp",
     tight_cull: bool = False,
+    slim_gather: bool = False,
 ) -> RenderOut:
     """backend: "jnp" (differentiable, XLA-fused) or "pallas" (TPU Mosaic
     forward kernel, fastest inference path).
@@ -178,6 +179,7 @@ def render(
             bg=bg,
             max_per_tile=max_per_tile,
             chunk=max(chunk, 128),
+            slim_gather=slim_gather,
         )
         return RenderOut(
             color=color,

@@ -77,6 +77,126 @@ def _surface_patch(rng, pts, normals, color, in_scale=(0.012, 0.035),
     return pts.astype(np.float32), color.astype(np.float32), scaling, quat, opac
 
 
+def _needle_patch(rng, pts, dirs, color, length, width_rng=(0.002, 0.004),
+                  opacity=(1.5, 4.0)):
+    """Extremely elongated Gaussians along ``dirs`` (aspect ~50-250):
+    grass blades / wires / twigs. ``length`` is (lo, hi) in world units;
+    width sits at the EWA low-pass floor (~0.3-0.6 px at the 512^2 ring
+    distance) so the render shows 1-px filaments and a fit has to keep
+    the anisotropy to match them."""
+    n = len(pts)
+    R = _basis_from_normal(dirs)  # column 2 = needle direction
+    quat = _rot_to_quat(R)
+    L = rng.uniform(*length, size=(n, 1))
+    w1 = rng.uniform(*width_rng, size=(n, 1))
+    w2 = w1 * rng.uniform(0.8, 1.3, size=(n, 1))
+    scaling = np.log(
+        np.concatenate([w1, w2, L], axis=1)
+    ).astype(np.float32)
+    opac = rng.uniform(*opacity, size=(n, 1)).astype(np.float32)
+    return (pts.astype(np.float32), color.astype(np.float32), scaling,
+            quat, opac)
+
+
+def build_gt_scene_hi_aniso(seed=0):
+    """Needle/wire/foliage GT scene: p90 scale-aspect >= 150 by
+    construction — the regime where CLAUDE.md measured tight culling
+    winning 2.15x (p90=182) and the committed p90~24 artifact cannot
+    test (VERDICT r4 weak 1)."""
+    from dge_tpu.scene import gaussians as G
+
+    rng = np.random.default_rng(seed)
+    parts = []
+
+    # sparse dark floor so the filaments dominate the pixel budget
+    n_f = 36_000
+    r = 2.4 * np.sqrt(rng.uniform(size=n_f))
+    th = rng.uniform(0, 2 * math.pi, size=n_f)
+    x, z = r * np.cos(th), r * np.sin(th)
+    pts = np.stack([x, np.full(n_f, -1.0) + rng.normal(0, 0.003, n_f), z], 1)
+    base = np.array([[0.18, 0.16, 0.13]])
+    col = np.clip(base + rng.normal(0, 0.04, (n_f, 3)), 0, 1)
+    normals = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (n_f, 1))
+    normals += rng.normal(0, 0.02, (n_f, 3))
+    parts.append(_surface_patch(rng, pts, normals, col,
+                                in_scale=(0.015, 0.04)))
+
+    # grass field: one long Gaussian per blade, tilted mostly upward
+    n_b = 58_000
+    r = 2.2 * np.sqrt(rng.uniform(size=n_b))
+    th = rng.uniform(0, 2 * math.pi, size=n_b)
+    bx, bz = r * np.cos(th), r * np.sin(th)
+    L = rng.uniform(0.22, 0.5, size=n_b)
+    dirs = np.stack([rng.normal(0, 0.35, n_b),
+                     np.ones(n_b),
+                     rng.normal(0, 0.35, n_b)], 1)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = np.stack([bx, np.full(n_b, -1.0), bz], 1) + dirs * (L / 2)[:, None]
+    green = np.stack([rng.uniform(0.1, 0.35, n_b),
+                      rng.uniform(0.45, 0.85, n_b),
+                      rng.uniform(0.1, 0.3, n_b)], 1)
+    parts.append(_needle_patch(rng, pts, dirs, green,
+                               length=(0.15, 0.4),
+                               width_rng=(0.0012, 0.0025)))
+
+    # hanging wires: catenaries between 4 pole pairs, chained segments
+    for k in range(4):
+        a = np.array([2.0 * math.cos(k * math.pi / 2 + 0.4), 0.9,
+                      2.0 * math.sin(k * math.pi / 2 + 0.4)])
+        b = np.array([2.0 * math.cos((k + 1.3) * math.pi / 2), 1.1,
+                      2.0 * math.sin((k + 1.3) * math.pi / 2)])
+        n_s = 1_600
+        t = np.linspace(0, 1, n_s)
+        sag = 0.65 * np.sin(math.pi * t) ** 1.2
+        p = a[None, :] * (1 - t)[:, None] + b[None, :] * t[:, None]
+        p[:, 1] -= sag
+        d = np.gradient(p, axis=0)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        seg = np.linalg.norm(b - a) / n_s * 3.0
+        col = np.tile(np.array([[0.85, 0.8, 0.55]]), (n_s, 1)) \
+            + rng.normal(0, 0.03, (n_s, 3))
+        parts.append(_needle_patch(
+            rng, p + rng.normal(0, 0.001, p.shape), d, np.clip(col, 0, 1),
+            length=(seg * 0.9, seg * 1.4), width_rng=(0.0018, 0.003),
+            opacity=(3.0, 5.0)))
+
+    # twiggy shrubs: random-walk branch segments
+    for cx, cz, hgt, c in [(-0.9, 0.4, 1.0, [0.45, 0.3, 0.2]),
+                           (0.8, -0.7, 0.8, [0.5, 0.35, 0.22]),
+                           (0.1, 1.0, 0.9, [0.4, 0.28, 0.18])]:
+        n_t = 5_000
+        t = rng.uniform(0, 1, n_t)
+        ang = rng.uniform(0, 2 * math.pi, n_t)
+        rad = 0.45 * t * (1 + 0.3 * rng.normal(size=n_t))
+        pts = np.stack([cx + rad * np.cos(ang),
+                        -1.0 + hgt * t,
+                        cz + rad * np.sin(ang)], 1)
+        dirs = np.stack([np.cos(ang) * 0.6 + rng.normal(0, 0.3, n_t),
+                         np.ones(n_t) * 0.9,
+                         np.sin(ang) * 0.6 + rng.normal(0, 0.3, n_t)], 1)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        col = np.clip(np.array([c]) + rng.normal(0, 0.05, (n_t, 3)), 0, 1)
+        parts.append(_needle_patch(rng, pts, dirs, col,
+                                   length=(0.12, 0.28),
+                                   width_rng=(0.0015, 0.003)))
+
+    xyz = np.concatenate([p[0] for p in parts])
+    col = np.concatenate([p[1] for p in parts])
+    scaling = np.concatenate([p[2] for p in parts])
+    quat = np.concatenate([p[3] for p in parts])
+    opac = np.concatenate([p[4] for p in parts])
+    sc = np.exp(scaling)
+    asp = np.sort(sc, axis=1)
+    aspect = asp[:, 2] / asp[:, 0]
+    print(f"GT hi-aniso aspect: p50={np.percentile(aspect, 50):.0f} "
+          f"p90={np.percentile(aspect, 90):.0f} "
+          f"p99={np.percentile(aspect, 99):.0f}", flush=True)
+    fdc = ((col - 0.5) / 0.28209479177387814)[:, None, :]
+    frest = np.zeros((len(xyz), 0, 3), np.float32)
+    return G.from_arrays(xyz, fdc, frest, opac, scaling, quat,
+                         max_sh_degree=0), xyz, col
+
+
 def build_gt_scene(seed=0):
     from dge_tpu.scene import gaussians as G
 
@@ -169,6 +289,10 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--init_points", type=int, default=60_000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--style", choices=["aniso", "hi_aniso"],
+                    default="aniso",
+                    help="aniso: surface disks (p90 aspect ~20); hi_aniso: "
+                         "needle/wire/foliage filaments (p90 aspect >150)")
     args = ap.parse_args(argv)
 
     import jax
@@ -182,7 +306,9 @@ def main(argv=None):
     from dge_tpu.utils import saving
 
     h = w = args.size
-    scene, xyz, col = build_gt_scene(args.seed)
+    builder = (build_gt_scene_hi_aniso if args.style == "hi_aniso"
+               else build_gt_scene)
+    scene, xyz, col = builder(args.seed)
     print(f"GT scene: {int(scene.n_alive)} gaussians", flush=True)
     cams = ring_cameras(args.views, h, w)
 
@@ -240,9 +366,9 @@ def main(argv=None):
 
     with open(os.path.join(out, "cfg.yaml"), "w") as f:
         f.write(
-            "name: benchscene\ntag: tpu\ndata:\n  height: 512\n"
-            "  width: 512\nsystem:\n  sh_degree: 0\ntrainer:\n"
-            "  max_steps: 6000\n"
+            f"name: benchscene_{args.style}\ntag: tpu\ndata:\n"
+            f"  height: {h}\n  width: {w}\nsystem:\n  sh_degree: 0\n"
+            "trainer:\n  max_steps: 6000\n"
         )
     G.save_ply(scene, os.path.join(out, "gt_scene.ply"))
     print(f"capture written to {out}", flush=True)

@@ -39,10 +39,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def job_fit_bench(capture_dir: str) -> int:
+def job_fit_bench(capture_dir: str, dst_name: str = "bench_scene") -> int:
     import launch
 
-    out_root = os.path.join(REPO, "outputs", "bench_scene_fit")
+    out_root = os.path.join(REPO, "outputs", dst_name + "_fit")
     cfg = os.path.join(capture_dir, "cfg.yaml")
     if not os.path.exists(cfg):
         print(f"[tpu_batch] no capture at {capture_dir} — run "
@@ -56,12 +56,27 @@ def job_fit_bench(capture_dir: str) -> int:
         print("[tpu_batch] fit produced no point_cloud.ply", file=sys.stderr)
         return 1
     ply = max(plys, key=os.path.getmtime)
-    dst_dir = os.path.join(REPO, "outputs", "bench_scene")
+    dst_dir = os.path.join(REPO, "outputs", dst_name)
     os.makedirs(dst_dir, exist_ok=True)
     shutil.copy(ply, os.path.join(dst_dir, "point_cloud.ply"))
     print(f"[tpu_batch] fit-bench done in {time.time() - t0:.0f}s -> "
           f"{dst_dir}/point_cloud.ply (from {ply})", flush=True)
     return 0
+
+
+def job_make_capture(style: str, out_dir: str) -> int:
+    from tools import make_bench_capture
+
+    make_bench_capture.main(["--style", style, "--out", out_dir])
+    return 0
+
+
+def job_round5(argline: str) -> int:
+    import shlex
+
+    from tools import round5_perf
+
+    return round5_perf.main(shlex.split(argline))
 
 
 def job_quality_quick() -> int:
@@ -81,13 +96,31 @@ def main(argv=None) -> int:
     ap.add_argument("--fit-bench", action="store_true")
     ap.add_argument("--capture", default="/tmp/bench_capture",
                     help="capture dir for --fit-bench")
+    ap.add_argument("--make-capture-hi", action="store_true",
+                    help="build the hi-aniso capture at --capture-hi")
+    ap.add_argument("--fit-bench-hi", action="store_true",
+                    help="fit the hi-aniso capture -> outputs/bench_scene_hi")
+    ap.add_argument("--capture-hi", default="/tmp/bench_capture_hi")
+    ap.add_argument("--round5", action="append", default=[],
+                    metavar="ARGS",
+                    help="run tools/round5_perf.py with ARGS (repeatable)")
     ap.add_argument("--quality-quick", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args(argv)
 
     jobs = []
+    if args.make_capture_hi:
+        jobs.append(("make-capture-hi",
+                     lambda: job_make_capture("hi_aniso", args.capture_hi)))
     if args.fit_bench:
         jobs.append(("fit-bench", lambda: job_fit_bench(args.capture)))
+    if args.fit_bench_hi:
+        jobs.append(("fit-bench-hi",
+                     lambda: job_fit_bench(args.capture_hi,
+                                           "bench_scene_hi")))
+    for i, argline in enumerate(args.round5):
+        jobs.append((f"round5[{i}] {argline}",
+                     lambda a=argline: job_round5(a)))
     if args.quality_quick:
         jobs.append(("quality-quick", job_quality_quick))
     if args.smoke:
