@@ -79,6 +79,12 @@ def job_round5(argline: str) -> int:
     return round5_perf.main(shlex.split(argline))
 
 
+def job_profile_edit() -> int:
+    from tools import profile_edit
+
+    return profile_edit.main([])
+
+
 def job_quality_quick() -> int:
     from tools import quality_gate
 
@@ -104,6 +110,8 @@ def main(argv=None) -> int:
     ap.add_argument("--round5", action="append", default=[],
                     metavar="ARGS",
                     help="run tools/round5_perf.py with ARGS (repeatable)")
+    ap.add_argument("--profile-edit", action="store_true",
+                    help="edit-round roofline table (tools/profile_edit.py)")
     ap.add_argument("--quality-quick", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args(argv)
@@ -121,6 +129,8 @@ def main(argv=None) -> int:
     for i, argline in enumerate(args.round5):
         jobs.append((f"round5[{i}] {argline}",
                      lambda a=argline: job_round5(a)))
+    if args.profile_edit:
+        jobs.append(("profile-edit", job_profile_edit))
     if args.quality_quick:
         jobs.append(("quality-quick", job_quality_quick))
     if args.smoke:
