@@ -189,12 +189,16 @@ TRAINED_PLY = os.path.join(
 )
 
 
-def bench_render_trained(bg):
-    """512^2 render fps on a real TRAINED scene (committed artifact from
+def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
+                         start_caps=None):
+    """Render fps on a real TRAINED scene (committed artifact from
     tools/make_bench_capture.py + launch --fit). The headline scene is
     synthetic near-isotropic; trained scenes are strongly anisotropic and
     bin differently (VERDICT r3 weak #3) — this is the distribution the
-    fps claim needs to hold on. Caps probed to spill 0 before timing."""
+    fps claim needs to hold on. At 1080p/tile 64 this is the reference's
+    OWN claim context (trained captures, >= 30 fps @1080p,
+    gaussiansplatting/README.md:16,68 — VERDICT r4 item 1). Caps probed
+    to spill 0 before timing."""
     import jax
     import jax.numpy as jnp
 
@@ -203,39 +207,49 @@ def bench_render_trained(bg):
     from dge_tpu.scene import look_at_camera
     from dge_tpu.scene.camera_arrays import CameraArrays
 
-    scene = G.load_ply(TRAINED_PLY)
+    scene = G.load_ply(ply or TRAINED_PLY)
     n = int(scene.n_alive)
     cam = look_at_camera(
         np.array([2.3, 0.9, -2.3]), np.array([0.0, -0.45, 0.0]),
-        fovx=math.radians(60), height=512, width=512,
+        fovx=math.radians(60), height=height, width=width,
     )
     cam_arr = CameraArrays.from_camera(cam)
     backend = (
         "pallas_stream" if jax.default_backend() in ("tpu", "axon") else "jnp"
     )
 
-    caps = dict(mpt=2048, mtg=32, slots=4, max_pairs=1 << 19,
-                big_capacity=0)
+    caps = dict(start_caps or dict(
+        mpt=2048, mtg=32 if tile_px == 32 else 96, slots=4,
+        max_pairs=1 << 19, big_capacity=0,
+    ))
 
     def make_fwd(c):
         return jax.jit(lambda s, cm: (
-            lambda o: (o.color.sum(), o.spill)
-        )(R.render(s, cm, bg, tile_px=32, max_per_tile=c["mpt"],
+            lambda o: (o.color.sum(), o.spill, o.spill_parts)
+        )(R.render(s, cm, bg, tile_px=tile_px, max_per_tile=c["mpt"],
                    max_tiles_per_gaussian=c["mtg"], small_slots=c["slots"],
                    max_pairs=c["max_pairs"], big_capacity=c["big_capacity"],
                    chunk=64, backend=backend)))
 
     fwd = make_fwd(caps)
     spill = None
-    for _ in range(5):
-        _, spill = fwd(scene, cam_arr)
+    for _ in range(6):
+        _, spill, parts = fwd(scene, cam_arr)
         if int(spill) == 0:
             break
-        caps = dict(mpt=caps["mpt"] * 2, mtg=caps["mtg"] * 2,
-                    slots=min(caps["slots"] * 2, 32),
-                    max_pairs=caps["max_pairs"] * 2,
-                    big_capacity=max(caps["big_capacity"], 1024) * 2)
-        _progress(f"trained-scene spill {int(spill)}: caps -> {caps}")
+        # grow ONLY the overflowing cap class (R.grow_caps key names)
+        full = R.grow_caps(
+            dict(max_per_tile=caps["mpt"], max_tiles_per_gaussian=caps["mtg"],
+                 small_slots=caps["slots"], max_pairs=caps["max_pairs"],
+                 big_capacity=caps["big_capacity"]),
+            parts,
+        )
+        caps = dict(mpt=full["max_per_tile"],
+                    mtg=full["max_tiles_per_gaussian"],
+                    slots=full["small_slots"], max_pairs=full["max_pairs"],
+                    big_capacity=full["big_capacity"])
+        _progress(f"trained-scene spill {int(spill)} "
+                  f"(parts {[int(x) for x in parts]}): caps -> {caps}")
         fwd = make_fwd(caps)
     spill = int(spill)
 
@@ -248,11 +262,57 @@ def bench_render_trained(bg):
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
         for s in variants:
-            r, _ = fwd(s, cam_arr)
+            r, _, _ = fwd(s, cam_arr)
             acc = acc + r
         float(acc)
         dt = time.perf_counter() - t0
     return iters / dt, spill, n
+
+
+def bench_quality_psnr(bg):
+    """Driver-visible quality tripwire (VERDICT r4 item 3): render-only
+    eval of the newest committed quality-gate scene against its capture
+    views (spill-free adaptive caps), mean PSNR in dB. A densify /
+    optimizer / kernel regression that slips past the fps cells shows up
+    here without re-running the fit. Oracle analog:
+    gaussiansplatting/metrics.py:36-93."""
+    import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.ops import losses as L
+    from dge_tpu.ops import render as R
+    from dge_tpu.scene import dataset as DS
+    from dge_tpu.scene import gaussians as G
+    from dge_tpu.scene.camera_arrays import CameraArrays
+
+    plys = _glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "outputs",
+        "quality_gate", "*", "fitdemo", "*", "point_cloud.ply"))
+    if not plys:
+        raise FileNotFoundError("no committed quality-gate scene")
+    ply = max(plys, key=os.path.getmtime)
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "outputs", "fit_capture")
+    scene = G.load_ply(ply)
+    cs = DS.ColmapScene(src, height=256, width=256)
+    renderer = R.SpillFreeRenderer(scene, bg, tile_px=32, log=_progress)
+    renderer.probe(CameraArrays.from_camera(cs.cameras[0]))
+    import imageio.v2 as imageio
+
+    vals = []
+    for cam in cs.cameras:
+        color, sp = renderer(CameraArrays.from_camera(cam))
+        if sp:
+            raise RuntimeError(f"quality eval spill {sp} after ladder")
+        gt = np.asarray(
+            imageio.imread(
+                os.path.join(src, "images", cam.image_name + ".png"))
+        ).astype(np.float32) / 255.0
+        vals.append(float(L.psnr(color, jnp.asarray(gt))))
+    return float(np.mean(vals)), os.path.relpath(
+        ply, os.path.dirname(os.path.abspath(__file__)))
 
 
 def bench_train_step(scene, cam_arr, bg):
@@ -482,9 +542,12 @@ def main():
     def emit(fps_512):
         """Cumulative summary line; each call supersedes the previous one
         (the driver keeps the last JSON line it can parse). vs_baseline is
-        null until the honest 1080p number exists — never the 512^2
-        fallback (ADVICE r3)."""
-        fps_1080 = extra.get("render_fps_1080p")
+        null until an honest 1080p number exists — never the 512^2
+        fallback (ADVICE r3). Once the TRAINED-scene 1080p cell is
+        measured it wins over the synthetic one: the vendored >= 30 fps
+        claim is about trained captures (VERDICT r4 item 1)."""
+        fps_1080 = extra.get("render_fps_trained_1080p",
+                             extra.get("render_fps_1080p"))
         print(
             json.dumps(
                 {
@@ -530,6 +593,51 @@ def main():
             extra["render_trained_error"] = f"{type(e).__name__}: {e}"[:200]
             _progress(f"trained render FAILED: {extra['render_trained_error']}")
         emit(fps)
+        try:
+            _progress("render trained scene at 1080p (the reference's own "
+                      "claim context)...")
+            fps_t1, spill_t1, _ = bench_render_trained(
+                bg, height=1080, width=1920, tile_px=64,
+                start_caps=dict(mpt=2048, mtg=96, slots=4,
+                                max_pairs=1 << 20, big_capacity=8192),
+            )
+            extra["render_fps_trained_1080p"] = round(fps_t1, 2)
+            extra["render_trained_1080p_spill"] = spill_t1
+            _progress(f"render_fps_trained_1080p = {fps_t1:.1f} "
+                      f"(spill {spill_t1})")
+        except Exception as e:  # pragma: no cover - diagnostic path
+            extra["render_trained_1080p_error"] = \
+                f"{type(e).__name__}: {e}"[:200]
+            _progress("trained 1080p render FAILED: "
+                      f"{extra['render_trained_1080p_error']}")
+        emit(fps)
+    hi_ply = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "outputs", "bench_scene_hi", "point_cloud.ply")
+    if os.path.exists(hi_ply):
+        try:
+            _progress("render hi-aniso trained scene (needle/wire regime)...")
+            fps_h, spill_h, n_h = bench_render_trained(bg, ply=hi_ply)
+            extra["render_fps_trained_hi_aniso"] = round(fps_h, 2)
+            extra["render_hi_aniso_spill"] = spill_h
+            extra["render_hi_aniso_n"] = n_h
+            _progress(f"render_fps_trained_hi_aniso = {fps_h:.1f} "
+                      f"({n_h} gaussians, spill {spill_h})")
+        except Exception as e:  # pragma: no cover - diagnostic path
+            extra["render_hi_aniso_error"] = f"{type(e).__name__}: {e}"[:200]
+            _progress("hi-aniso render FAILED: "
+                      f"{extra['render_hi_aniso_error']}")
+        emit(fps)
+    try:
+        _progress("quality PSNR (render-only eval of the committed "
+                  "quality-gate scene)...")
+        q_psnr, q_ply = bench_quality_psnr(bg)
+        extra["quality_psnr_db"] = round(q_psnr, 2)
+        extra["quality_scene"] = q_ply
+        _progress(f"quality_psnr_db = {q_psnr:.2f} ({q_ply})")
+    except Exception as e:  # pragma: no cover - diagnostic path
+        extra["quality_psnr_error"] = f"{type(e).__name__}: {e}"[:200]
+        _progress(f"quality PSNR FAILED: {extra['quality_psnr_error']}")
+    emit(fps)
     try:
         _progress("train step...")
         extra["train_step_ms"] = round(bench_train_step(scene, cam_arr, bg), 2)

@@ -358,6 +358,13 @@ class PairBins(NamedTuple):
     spill: jnp.ndarray  # scalar int32
     tiles_x: int
     tiles_y: int
+    # [3] int32 (gauss, tile, stream): which cap class overflowed —
+    # gauss = per-Gaussian slots (max_tiles_per_gaussian / small_slots /
+    # big_capacity), tile = max_per_tile, stream = max_pairs. Lets cap
+    # ladders grow ONLY the exhausted cap instead of doubling everything
+    # (the round-5 1080p ladder overshot big_capacity 4x and paid 22.6 ms
+    # of binning sort on a 63 ms frame).
+    spill_parts: jnp.ndarray = None
 
 
 def bin_gaussians_pairs(
@@ -578,9 +585,13 @@ def _pair_sort(
             keys, tids + (1 << depth_bits)
         ).astype(jnp.int32)
         raw = ends - starts
-        counts = jnp.minimum(raw, max_per_tile)
-        counts = jnp.minimum(counts, jnp.maximum(max_pairs - starts, 0))
-        spill = jnp.sum(raw - counts) + gauss_spill
+        counts_mpt = jnp.minimum(raw, max_per_tile)
+        counts = jnp.minimum(
+            counts_mpt, jnp.maximum(max_pairs - starts, 0)
+        )
+        tile_spill = jnp.sum(raw - counts_mpt)
+        stream_spill = jnp.sum(counts_mpt - counts)
+        spill = tile_spill + stream_spill + gauss_spill
         return PairBins(
             pair_ids=ids[:max_pairs],
             starts=starts,
@@ -588,6 +599,9 @@ def _pair_sort(
             spill=spill.astype(jnp.int32),
             tiles_x=tiles_x,
             tiles_y=tiles_y,
+            spill_parts=jnp.stack(
+                [gauss_spill, tile_spill, stream_spill]
+            ).astype(jnp.int32),
         )
 
     j = jnp.arange(m, dtype=jnp.int32)
@@ -629,14 +643,13 @@ def _pair_sort(
     starts = jnp.searchsorted(keys, tids).astype(jnp.int32)
     ends = jnp.searchsorted(keys, tids + (1 << depth_bits)).astype(jnp.int32)
     raw = ends - starts
-    counts = jnp.minimum(raw, max_per_tile)
+    counts_mpt = jnp.minimum(raw, max_per_tile)
     # respect the stream cap too
-    counts = jnp.minimum(counts, jnp.maximum(max_pairs - starts, 0))
-    spill = (
-        jnp.sum(raw - counts)
-        + jnp.sum(jnp.where(vis, jnp.maximum(cnt - m, 0), 0))
-        + overflow_spill
-    )
+    counts = jnp.minimum(counts_mpt, jnp.maximum(max_pairs - starts, 0))
+    gspill = jnp.sum(jnp.where(vis, jnp.maximum(cnt - m, 0), 0))
+    tile_spill = jnp.sum(raw - counts_mpt)
+    stream_spill = jnp.sum(counts_mpt - counts) + overflow_spill
+    spill = tile_spill + stream_spill + gspill
     return PairBins(
         pair_ids=ids[:max_pairs],
         starts=starts,
@@ -644,5 +657,8 @@ def _pair_sort(
         spill=spill.astype(jnp.int32),
         tiles_x=tiles_x,
         tiles_y=tiles_y,
+        spill_parts=jnp.stack(
+            [gspill, tile_spill, stream_spill]
+        ).astype(jnp.int32),
     )
 

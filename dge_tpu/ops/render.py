@@ -33,6 +33,40 @@ class RenderOut(NamedTuple):
     radii: Float[jnp.ndarray, "N"]
     visible: Bool[jnp.ndarray, "N"]  # visibility filter
     spill: Int[jnp.ndarray, ""]  # binning overflow (diagnostic)
+    # [3] int32 (gauss, tile, stream) overflow attribution — which cap
+    # class to grow (binning.PairBins.spill_parts); None on the [T, K]
+    # list backends
+    spill_parts: Int[jnp.ndarray, "3"] = None
+
+
+def grow_caps(caps: dict, parts) -> dict:
+    """One spill-ladder rung: double ONLY the cap classes that overflowed.
+
+    ``caps`` keys: max_per_tile / max_tiles_per_gaussian / small_slots /
+    max_pairs / big_capacity. ``parts`` is RenderOut.spill_parts
+    ((gauss, tile, stream) int32) or None — None doubles everything (the
+    legacy behavior). Selective growth keeps binning sort rows bounded:
+    the round-5 1080p ladder that doubled everything overshot
+    big_capacity 4x and paid 22.6 ms of sort on a 63 ms frame."""
+    c = dict(caps)
+    if parts is None:
+        gauss = tile = stream = True
+    else:
+        p = [int(x) for x in parts]
+        gauss, tile, stream = p[0] > 0, p[1] > 0, p[2] > 0
+    if gauss:
+        c["max_tiles_per_gaussian"] = min(
+            c["max_tiles_per_gaussian"] * 2, 256)
+        c["small_slots"] = min(c["small_slots"] * 2, 32)
+        # 0 = the binning auto default (n/32 capped) — jump past it rather
+        # than shrinking to a fixed small number
+        c["big_capacity"] = (c["big_capacity"] * 2 if c["big_capacity"]
+                             else 8192)
+    if tile:
+        c["max_per_tile"] = c["max_per_tile"] * 2
+    if stream:
+        c["max_pairs"] = c["max_pairs"] * 2
+    return c
 
 
 def render(
@@ -134,9 +168,10 @@ def render(
             radii=prep.radius,
             visible=prep.visible,
             spill=pb.spill,
+            spill_parts=pb.spill_parts,
         )
 
-    if backend == "pallas_stream":
+    if backend in ("pallas_stream", "pallas_aligned"):
         # NB a block-aligned stream variant (one kernel cell per real pair
         # block instead of the (tile, slot) grid) was built and measured in
         # rounds 2-3: it lost at EVERY operating point — 23.8 vs 9.9 ms at
@@ -162,25 +197,46 @@ def render(
             small_slots=small_slots,
             **cull_kw,
         )
-        color, depth, final_t = pallas_composite.composite_pairs_pallas(
-            pb.pair_ids,
-            pb.starts,
-            pb.counts,
-            mean2d,
-            prep.conic,
-            prep.rgb,
-            prep.depth,
-            prep.opacity,
-            height=cam.height,
-            width=cam.width,
-            tiles_x=pb.tiles_x,
-            tiles_y=pb.tiles_y,
-            tile_px=tile_px,
-            bg=bg,
-            max_per_tile=max_per_tile,
-            chunk=max(chunk, 128),
-            slim_gather=slim_gather,
-        )
+        if backend == "pallas_aligned":
+            # 1-D block grid over REAL pairs (grid independent of
+            # max_per_tile — see pallas_composite.align_pair_stream)
+            color, depth, final_t = pallas_composite.composite_pairs_aligned(
+                pb.pair_ids,
+                pb.starts,
+                pb.counts,
+                mean2d,
+                prep.conic,
+                prep.rgb,
+                prep.depth,
+                prep.opacity,
+                height=cam.height,
+                width=cam.width,
+                tiles_x=pb.tiles_x,
+                tiles_y=pb.tiles_y,
+                tile_px=tile_px,
+                bg=bg,
+                chunk=max(chunk, 128),
+            )
+        else:
+            color, depth, final_t = pallas_composite.composite_pairs_pallas(
+                pb.pair_ids,
+                pb.starts,
+                pb.counts,
+                mean2d,
+                prep.conic,
+                prep.rgb,
+                prep.depth,
+                prep.opacity,
+                height=cam.height,
+                width=cam.width,
+                tiles_x=pb.tiles_x,
+                tiles_y=pb.tiles_y,
+                tile_px=tile_px,
+                bg=bg,
+                max_per_tile=max_per_tile,
+                chunk=max(chunk, 128),
+                slim_gather=slim_gather,
+            )
         return RenderOut(
             color=color,
             depth=depth,
@@ -188,6 +244,7 @@ def render(
             radii=prep.radius,
             visible=prep.visible,
             spill=pb.spill,
+            spill_parts=pb.spill_parts,
         )
 
     bins = binning.bin_gaussians(
@@ -356,19 +413,14 @@ class SpillFreeRenderer:
         kw = dict(self._kw, **self._caps)
         bg = self._bg
         return jax.jit(
-            lambda s, c: (lambda o: (o.color, o.spill))(render(s, c, bg, **kw))
+            lambda s, c: (lambda o: (o.color, o.spill, o.spill_parts))(
+                render(s, c, bg, **kw))
         )
 
-    def _grow(self, sp: int):
-        c = self._caps
-        self._caps = dict(
-            max_per_tile=c["max_per_tile"] * 2,
-            max_tiles_per_gaussian=c["max_tiles_per_gaussian"] * 2,
-            small_slots=min(c["small_slots"] * 2, 32),
-            max_pairs=c["max_pairs"] * 2,
-            big_capacity=c["big_capacity"] * 2,
-        )
-        self._log(f"render spill {sp}: growing caps to {self._caps}")
+    def _grow(self, sp: int, parts=None):
+        self._caps = grow_caps(self._caps, parts)
+        self._log(f"render spill {sp} (parts {None if parts is None else [int(x) for x in parts]}): "
+                  f"growing caps to {self._caps}")
         self._fwd = self._make()
 
     def probe(self, cam) -> int:
@@ -376,22 +428,22 @@ class SpillFreeRenderer:
         rungs are exhausted — returns the residual spill, 0 on success)."""
         sp = 0
         for _ in range(self._max_grow):
-            _, sp = self._fwd(self._scene, cam)
+            _, sp, parts = self._fwd(self._scene, cam)
             if int(sp) == 0:
                 return 0
-            self._grow(int(sp))
+            self._grow(int(sp), parts)
         return int(sp)
 
     def __call__(self, cam, regrow: int = 4):
         """Render one view spill-free, re-growing caps (``regrow`` rungs)
         if this view is denser than the probe view. Returns (color, spill);
         spill > 0 only if the ladder was exhausted."""
-        color, sp = self._fwd(self._scene, cam)
+        color, sp, parts = self._fwd(self._scene, cam)
         for _ in range(regrow):
             if int(sp) == 0:
                 break
-            self._grow(int(sp))
-            color, sp = self._fwd(self._scene, cam)
+            self._grow(int(sp), parts)
+            color, sp, parts = self._fwd(self._scene, cam)
         return color, int(sp)
 
 

@@ -58,10 +58,139 @@ def _newest(pattern: str) -> str:
     return max(paths, key=os.path.getmtime)
 
 
+def _disk_mask(h, w, frac=0.28):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    r2 = (yy - h / 2) ** 2 + (xx - w / 2) ** 2
+    return (r2 <= (frac * min(h, w)) ** 2).astype(np.float32)
+
+
+def run_local_gate(args, ply: str, out_root: str) -> dict:
+    """Local-editing scene gate (VERDICT r4 item 7): run a short masked
+    edit (precomputed center-disk masks, --smoke tiny models, near-zero
+    geometry LRs — the dozer_red.sh recipe shape,
+    /root/reference/script/local_editing/dozer_red.sh +
+    threestudio/systems/DGE.py:101-165) and assert the invariant that
+    DEFINES the feature: renders outside the mask match the original
+    scene to high PSNR while the masked region actually changes."""
+    import numpy as np
+
+    src = os.path.join(REPO, "outputs", "fit_capture")
+    h = w = 256
+    masks_dir = os.path.join(out_root, "masks")
+    os.makedirs(masks_dir, exist_ok=True)
+    import imageio.v2 as imageio
+
+    disk = _disk_mask(h, w)
+    for vid in range(16):
+        imageio.imwrite(os.path.join(masks_dir, f"{vid:04d}.png"),
+                        (disk * 255).astype(np.uint8))
+
+    cfg_path = os.path.join(out_root, "local_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""name: localedit
+tag: tpu
+data:
+  height: {h}
+  width: {w}
+  max_view_num: 8
+system:
+  model_size: tiny
+  prompt: "make the object red"
+  seg_prompt: "object"
+  segmentor: precomputed
+  mask_dir: {masks_dir}
+  guidance:
+    resize_target: 64
+    diffusion_steps: 5
+    camera_batch_size: 4
+  edit:
+    max_steps: 200
+    camera_update_per_step: 100
+    camera_batch_size: 4
+    max_view_num: 8
+    mask_thres: 0.8
+    densify_until: 0
+    gs_lr_scaler: 1.0e-4
+    gs_final_lr_scaler: 1.0e-4
+    scaling_lr_scaler: 1.0e-4
+    rotation_lr_scaler: 1.0e-4
+    opacity_lr_scaler: 1.0e-4
+    color_lr_scaler: 3.0
+""")
+    edit_args = [
+        "--train", "--smoke", "--gs_source", ply, "--source", src,
+        "--out", out_root, "--config", cfg_path,
+    ]
+    print("[quality_gate] launch", " ".join(edit_args), flush=True)
+    if _run_launch(edit_args, args.inproc, dict(os.environ)) != 0:
+        sys.exit("[quality_gate] local edit FAILED")
+    edited_ply = _newest(os.path.join(out_root, "localedit", "*",
+                                      "last.ply"))
+
+    # render original vs edited on 4 eval views; compare inside/outside
+    # the lifted mask region
+    sys.path.insert(0, REPO)
+    import jax
+    import jax.numpy as jnp
+
+    from dge_tpu.ops import render as R
+    from dge_tpu.scene import dataset as DS
+    from dge_tpu.scene import gaussians as G
+    from dge_tpu.scene.camera_arrays import CameraArrays
+
+    orig = G.load_ply(ply)
+    edited = G.load_ply(edited_ply)
+    cams = DS.ColmapScene(src, height=h, width=w).cameras
+    bg = jnp.zeros(3, jnp.float32)
+    fwd = jax.jit(lambda s, c: R.render(
+        s, c, bg, tile_px=32, max_per_tile=4096,
+        backend="pallas_stream"
+        if jax.default_backend() in ("tpu", "axon") else "jnp").color)
+    un_psnrs, in_deltas = [], []
+    dm = disk > 0.5
+    for cam in cams[::4][:4]:
+        ca = CameraArrays.from_camera(cam)
+        a = np.asarray(fwd(orig, ca))
+        b = np.asarray(fwd(edited, ca))
+        d = np.abs(a - b).mean(-1)
+        out_mse = float((((a - b) ** 2).mean(-1))[~dm].mean())
+        un_psnrs.append(-10.0 * np.log10(max(out_mse, 1e-12)))
+        in_deltas.append(float(d[dm].mean()))
+    un_psnr = float(min(un_psnrs))
+    in_delta = float(max(in_deltas))
+    res = {
+        "local_unmasked_psnr_db": round(un_psnr, 2),
+        "local_masked_mean_delta": round(in_delta, 4),
+        "local_edited_ply": os.path.relpath(edited_ply, REPO),
+        "local_pass": bool(un_psnr >= args.local_min_psnr
+                           and in_delta >= 0.005),
+    }
+    print(json.dumps(res))
+    if not res["local_pass"]:
+        print(f"[quality_gate] LOCAL FAIL: unmasked {un_psnr:.1f} dB "
+              f"(gate {args.local_min_psnr}), masked delta {in_delta:.4f} "
+              "(gate 0.005)", file=sys.stderr)
+    else:
+        print(f"[quality_gate] LOCAL PASS: unmasked {un_psnr:.1f} dB, "
+              f"masked region moved {in_delta:.4f}", file=sys.stderr)
+    return res
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--min-psnr", type=float, default=40.0)
+    ap.add_argument(
+        "--local", action="store_true",
+        help="also run the local-editing gate (masked edit; unmasked "
+        "region must match the original, masked region must change)",
+    )
+    ap.add_argument("--local-min-psnr", type=float, default=35.0)
+    ap.add_argument("--ply", default=None,
+                    help="reuse a fitted PLY (skip the fit+validate part; "
+                    "only meaningful with --local)")
     ap.add_argument(
         "--quick", action="store_true",
         help="per-round tripwire: 1500 steps, gate 28 dB (measured on TPU "
@@ -90,6 +219,11 @@ def main(argv=None) -> int:
     stamp = time.strftime("%Y%m%d-%H%M%S")
     out_root = os.path.join(args.out, stamp)
     os.makedirs(out_root, exist_ok=True)
+
+    if args.local and args.ply:
+        # local gate only, on an existing fitted scene
+        res = run_local_gate(args, args.ply, out_root)
+        return 0 if res["local_pass"] else 1
 
     env = dict(os.environ)
     t0 = time.time()
@@ -133,6 +267,11 @@ def main(argv=None) -> int:
         "pass": bool(res["psnr"] >= args.min_psnr and spill == 0),
         "results_json": os.path.relpath(results_path, REPO),
     }
+    if args.local:
+        local_res = run_local_gate(args, ply, out_root)
+        summary.update(local_res)
+        summary["pass"] = bool(summary["pass"] and local_res["local_pass"])
+
     print(json.dumps(summary))
     if not summary["pass"]:
         print(

@@ -95,8 +95,10 @@ def make_cam(h, w):
 
 
 def ladder(scene, cam, *, tile_px, tight_cull=False, chunk=128,
-           slim_gather=False, start=None, max_grow=6):
-    """Grow caps together until spill == 0; returns (caps, fwd)."""
+           slim_gather=False, start=None, max_grow=6,
+           backend="pallas_stream"):
+    """Grow only the spilled cap classes until spill == 0; returns
+    (caps, fwd)."""
     import jax
     import jax.numpy as jnp
     from dge_tpu.ops import render as R
@@ -109,29 +111,30 @@ def ladder(scene, cam, *, tile_px, tight_cull=False, chunk=128,
 
     def make(c):
         return jax.jit(lambda s, _c=dict(c): (lambda o: (
-            o.color.sum(), o.spill
+            o.color.sum(), o.spill, o.spill_parts
         ))(R.render(s, cam, bg, tile_px=tile_px, chunk=chunk,
-                    backend="pallas_stream", tight_cull=tight_cull,
+                    backend=backend, tight_cull=tight_cull,
                     slim_gather=slim_gather, **_c)))
+
+    def fwd2(s):  # timing-friendly view (drop parts)
+        a, b, _ = fwd(s)
+        return a, b
 
     fwd = make(caps)
     sp = None
     for _ in range(max_grow):
-        _, sp = fwd(scene)
+        _, sp, parts = fwd(scene)
         if int(sp) == 0:
             break
-        caps["max_per_tile"] *= 2
-        caps["max_tiles_per_gaussian"] = min(
-            caps["max_tiles_per_gaussian"] * 2, 256)
-        caps["small_slots"] = min(caps["small_slots"] * 2, 32)
-        caps["max_pairs"] *= 2
-        caps["big_capacity"] *= 2
+        caps = R.grow_caps(caps, parts)
+        print(f"[round5_perf] spill {int(sp)} parts "
+              f"{[int(x) for x in parts]} -> {caps}", flush=True)
         fwd = make(caps)
     else:
-        _, sp = fwd(scene)
+        _, sp, _ = fwd(scene)
     print(f"[round5_perf] ladder tile_px={tile_px} tight={tight_cull} "
           f"slim={slim_gather}: caps={caps} spill={int(sp)}", flush=True)
-    return caps, fwd
+    return caps, fwd2
 
 
 def _bins_and_prep(scene, cam, caps, tile_px):
@@ -242,6 +245,12 @@ def main(argv=None):
     ap.add_argument("--chunk-ab", action="store_true")
     ap.add_argument("--cull-ab", action="store_true")
     ap.add_argument("--slim-e2e", action="store_true")
+    ap.add_argument("--aligned-ab", action="store_true",
+                    help="e2e pallas_aligned (1-D block grid) vs "
+                    "pallas_stream at the same caps, +tight_cull combo")
+    ap.add_argument("--tile32-1080p", action="store_true",
+                    help="1080p at tile_px=32 (more pairs, 4x less "
+                    "per-pair pixel work) with and without tight_cull")
     ap.add_argument("--skip-512", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny synthetic scene at 64^2 — CPU plumbing check")
@@ -295,6 +304,24 @@ def main(argv=None):
             tc_caps, fwd_tc = ladder(scene, cam, tile_px=tp,
                                      tight_cull=True)
             run_e2e(scene, cam, fwd_tc, f"trained {label} tight_cull")
+        if args.aligned_ab:
+            _, fwd_al = ladder(scene, cam, tile_px=tp, start=caps,
+                               max_grow=2, backend="pallas_aligned")
+            run_e2e(scene, cam, fwd_al, f"trained {label} ALIGNED")
+            _, fwd_alc = ladder(scene, cam, tile_px=tp, start=caps,
+                                max_grow=2, backend="pallas_aligned",
+                                tight_cull=True)
+            run_e2e(scene, cam, fwd_alc,
+                    f"trained {label} ALIGNED+tight_cull")
+    if args.tile32_1080p:
+        cam = make_cam(1080, 1920)
+        for tc in (False, True):
+            for bk in (("pallas_stream",) if not args.aligned_ab
+                       else ("pallas_stream", "pallas_aligned")):
+                c32, f32v = ladder(scene, cam, tile_px=32, tight_cull=tc,
+                                   backend=bk)
+                run_e2e(scene, cam, f32v,
+                        f"trained 1920x1080 tile32 {bk} tight={tc}")
     return 0
 
 
