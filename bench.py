@@ -190,7 +190,7 @@ TRAINED_PLY = os.path.join(
 
 
 def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
-                         start_caps=None):
+                         start_caps=None, tight_cull=False):
     """Render fps on a real TRAINED scene (committed artifact from
     tools/make_bench_capture.py + launch --fit). The headline scene is
     synthetic near-isotropic; trained scenes are strongly anisotropic and
@@ -229,7 +229,7 @@ def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
         )(R.render(s, cm, bg, tile_px=tile_px, max_per_tile=c["mpt"],
                    max_tiles_per_gaussian=c["mtg"], small_slots=c["slots"],
                    max_pairs=c["max_pairs"], big_capacity=c["big_capacity"],
-                   chunk=64, backend=backend)))
+                   chunk=64, backend=backend, tight_cull=tight_cull)))
 
     fwd = make_fwd(caps)
     spill = None
@@ -596,9 +596,14 @@ def main():
         try:
             _progress("render trained scene at 1080p (the reference's own "
                       "claim context)...")
+            # tile32 + tight culling is the measured 1080p operating point
+            # on trained scenes (round 5 A/B: 37.7 ms vs 48.5 tile64+cull
+            # vs 57.0 tile64 vs 88.6 tile32 bare — culling kills the rect
+            # inflation that made tile32 lose, and keeps the 4x-smaller
+            # per-pair pixel work)
             fps_t1, spill_t1, _ = bench_render_trained(
-                bg, height=1080, width=1920, tile_px=64,
-                start_caps=dict(mpt=2048, mtg=96, slots=4,
+                bg, height=1080, width=1920, tile_px=32, tight_cull=True,
+                start_caps=dict(mpt=2048, mtg=64, slots=8,
                                 max_pairs=1 << 20, big_capacity=8192),
             )
             extra["render_fps_trained_1080p"] = round(fps_t1, 2)
@@ -616,7 +621,11 @@ def main():
     if os.path.exists(hi_ply):
         try:
             _progress("render hi-aniso trained scene (needle/wire regime)...")
-            fps_h, spill_h, n_h = bench_render_trained(bg, ply=hi_ply)
+            # tight culling wins 2.3x in this regime (26.9 vs 61.0 ms
+            # measured round 5 on this artifact, p90 aspect 147) — exact
+            # under the kernels' alpha >= 1/255 skip
+            fps_h, spill_h, n_h = bench_render_trained(
+                bg, ply=hi_ply, tight_cull=True)
             extra["render_fps_trained_hi_aniso"] = round(fps_h, 2)
             extra["render_hi_aniso_spill"] = spill_h
             extra["render_hi_aniso_n"] = n_h

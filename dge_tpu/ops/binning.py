@@ -358,12 +358,13 @@ class PairBins(NamedTuple):
     spill: jnp.ndarray  # scalar int32
     tiles_x: int
     tiles_y: int
-    # [3] int32 (gauss, tile, stream): which cap class overflowed —
-    # gauss = per-Gaussian slots (max_tiles_per_gaussian / small_slots /
-    # big_capacity), tile = max_per_tile, stream = max_pairs. Lets cap
-    # ladders grow ONLY the exhausted cap instead of doubling everything
-    # (the round-5 1080p ladder overshot big_capacity 4x and paid 22.6 ms
-    # of binning sort on a 63 ms frame).
+    # [4] int32 (slot, cap, tile, stream): which cap class overflowed —
+    # slot = per-Gaussian tile slots (max_tiles_per_gaussian), cap = big
+    # grid capacity (big_capacity / small_slots), tile = max_per_tile,
+    # stream = max_pairs. Lets cap ladders grow ONLY the exhausted cap
+    # instead of doubling everything (the round-5 1080p ladder overshot
+    # big_capacity 4x and paid 22.6 ms of binning sort on a 63 ms frame;
+    # lumping slot+cap into one class still grew slots/big 2x past need).
     spill_parts: jnp.ndarray = None
 
 
@@ -527,9 +528,14 @@ def _bucketed_pair_keys(
 
     keys = jnp.concatenate([keys1.reshape(-1), keys2.reshape(-1)])
     ids = jnp.concatenate([ids1.reshape(-1), ids2.reshape(-1)])
-    spill = spill_big + \
-        jnp.sum(jnp.where(overflowed, jnp.maximum(cnt - m1, 0), 0))
-    return keys, ids, spill
+    # two gauss spill classes with different remedies: slot overflow
+    # (tiles beyond m2 -> grow max_tiles_per_gaussian) vs capacity
+    # overflow (big Gaussians beyond the b2 slots, truncated to their
+    # first m1 tiles -> grow big_capacity / small_slots)
+    spill_slot = spill_big
+    spill_cap = jnp.sum(
+        jnp.where(overflowed, jnp.maximum(cnt - m1, 0), 0))
+    return keys, ids, spill_slot, spill_cap
 
 
 def _pair_sort(
@@ -573,7 +579,7 @@ def _pair_sort(
         # the big grid holds the tail (capacity n/32 by default, overflow
         # counted in spill)
         b2 = big_capacity or (1 << max(int(n // 32 - 1).bit_length(), 6))
-        keys, ids, gauss_spill = _bucketed_pair_keys(
+        keys, ids, spill_slot, spill_cap = _bucketed_pair_keys(
             x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits,
             m1=small_slots, m2=m, b2=b2,
             mean2d=mean2d, conic=conic, opacity=opacity, tile_px=tile_px,
@@ -591,7 +597,7 @@ def _pair_sort(
         )
         tile_spill = jnp.sum(raw - counts_mpt)
         stream_spill = jnp.sum(counts_mpt - counts)
-        spill = tile_spill + stream_spill + gauss_spill
+        spill = tile_spill + stream_spill + spill_slot + spill_cap
         return PairBins(
             pair_ids=ids[:max_pairs],
             starts=starts,
@@ -600,7 +606,7 @@ def _pair_sort(
             tiles_x=tiles_x,
             tiles_y=tiles_y,
             spill_parts=jnp.stack(
-                [gauss_spill, tile_spill, stream_spill]
+                [spill_slot, spill_cap, tile_spill, stream_spill]
             ).astype(jnp.int32),
         )
 
@@ -658,7 +664,7 @@ def _pair_sort(
         tiles_x=tiles_x,
         tiles_y=tiles_y,
         spill_parts=jnp.stack(
-            [gspill, tile_spill, stream_spill]
+            [gspill, jnp.zeros_like(gspill), tile_spill, stream_spill]
         ).astype(jnp.int32),
     )
 

@@ -319,7 +319,7 @@ def assemble_stream_data(
     depth: jnp.ndarray,
     opac: jnp.ndarray,
     *,
-    slim: bool = False,
+    slim: bool = True,
 ) -> jnp.ndarray:
     """Gather per-Gaussian features into pair-stream order → [FEAT, Pc].
 
@@ -345,213 +345,15 @@ def assemble_stream_data(
     return feat[:, pair_ids]
 
 
-def align_pair_stream(
-    pair_ids: jnp.ndarray,  # [Pc] original Gaussian ids, tile-major
-    starts: jnp.ndarray,  # [T]
-    counts: jnp.ndarray,  # [T]
-    num_tiles: int,
-    chunk: int,
-):
-    """Re-index the pair stream so every tile's range starts on a chunk
-    boundary, and derive the per-block schedule for the 1-D kernel grid.
-
-    Returns (aligned_ids [MB*chunk], tile_of [MB], rem [MB], first [MB])
-    where MB = ceil(max_pairs/chunk) + num_tiles (static): each tile owns
-    ceil(count/chunk) (min 1) consecutive blocks. Unlike the deleted
-    round-2 block kernel, alignment happens on the int32 IDS before the
-    single feature gather — no second feature pass. The kernel grid then
-    scales with ACTUAL pairs, independent of max_per_tile: growing caps
-    for one hot tile no longer costs dead grid steps on every tile
-    (measured round 5: kernel-only 42.2 ms at mpt=8192 vs 34.2 ms at
-    mpt=2048 with identical work, trained scene at 1080p)."""
-    p_cap = pair_ids.shape[0]
-    max_blocks = -(-p_cap // chunk) + num_tiles
-    nb = jnp.maximum(-(-counts // chunk), 1)  # >=1 so empty tiles init
-    block_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
-    )  # [T+1]
-    total_blocks = block_off[-1]
-
-    b = jnp.arange(max_blocks, dtype=jnp.int32)
-    tile_of = jnp.searchsorted(block_off, b, side="right").astype(
-        jnp.int32) - 1
-    real = b < total_blocks
-    tile_of = jnp.where(real, tile_of, num_tiles)
-    t_safe = jnp.clip(tile_of, 0, num_tiles - 1)
-    j0 = (b - block_off[t_safe]) * chunk  # local pair offset of block
-    rem = jnp.where(real, counts[t_safe] - j0, 0)  # valid rows in block
-    first = (j0 == 0) & real
-
-    q = jnp.arange(max_blocks * chunk, dtype=jnp.int32)
-    qb = q // chunk
-    tq = jnp.clip(tile_of[qb], 0, num_tiles - 1)
-    j = j0[qb] + q % chunk
-    src = jnp.clip(starts[tq] + j, 0, p_cap - 1)
-    valid = (tile_of[qb] < num_tiles) & (j < counts[tq])
-    aligned_ids = jnp.where(valid, pair_ids[src], 0)
-    return aligned_ids, tile_of, rem.astype(jnp.int32), first.astype(
-        jnp.int32)
-
-
-def _blocks_kernel(
-    tile_of_ref,  # scalar prefetch [MB]
-    rem_ref,  # scalar prefetch [MB] valid rows in this block
-    first_ref,  # scalar prefetch [MB] 1 = first block of its tile
-    data_ref,  # [FEAT, chunk] aligned stream block
-    out_ref,  # [1, 8, P]
-    trans_scr,
-    color_scr,
-    *,
-    tile_px: int,
-    tiles_x: int,
-    chunk: int,
-    num_tiles: int,
-):
-    b = pl.program_id(0)
-    t = tile_of_ref[b]
-
-    @pl.when(first_ref[b] == 1)
-    def _init():
-        trans_scr[...] = jnp.ones_like(trans_scr)
-        color_scr[...] = jnp.zeros_like(color_scr)
-
-    p = tile_px * tile_px
-    live = jnp.logical_and(
-        jnp.logical_and(t < num_tiles, rem_ref[b] > 0),
-        jnp.max(trans_scr[0, :]) >= T_EPS,
-    )
-
-    @pl.when(live)
-    def _work():
-        data = data_ref[...]  # [FEAT, C]
-        pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-        ox = (t % tiles_x) * tile_px
-        oy = (t // tiles_x) * tile_px
-        px = (ox + pid % tile_px).astype(jnp.float32)
-        py = (oy + pid // tile_px).astype(jnp.float32)
-
-        def row(i):
-            return data[i, :].reshape(chunk, 1)
-
-        a, b_, c = row(_CA), row(_CB), row(_CC)
-        mx, my = row(_MX), row(_MY)
-        dx = mx - px
-        dy = my - py
-        power = -0.5 * (a * dx * dx + c * dy * dy) - b_ * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, row(_OP) * jnp.exp(power))
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        keep = (
-            (power <= 0.0)
-            & (alpha >= ALPHA_EPS)
-            & (ridx < rem_ref[b])
-        )
-        eff = jnp.where(keep, alpha, 0.0)
-        one_minus = 1.0 - eff
-        cp = _hillis_steele_cumprod(one_minus, chunk)
-        ex = cp / one_minus
-        trans = trans_scr[0:1, :]
-        t_hyp = trans * cp
-        applied = (t_hyp >= T_EPS).astype(jnp.float32)
-        w = eff * trans * ex * applied
-        color_scr[...] += jax.lax.dot_general(
-            data[_R:_D + 1, :], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        trans_scr[...] = trans * jnp.min(
-            jnp.where(applied > 0, cp, 1.0), axis=0, keepdims=True
-        )
-
-    # write every step: the out block flushes only when the out index map
-    # moves to the next tile, so this is a VMEM-local store
-    out_ref[0, 0:4, :] = color_scr[...]
-    out_ref[0, 4:5, :] = trans_scr[...]
-    out_ref[0, 5:8, :] = jnp.zeros((3, p), jnp.float32)
-
-
-def composite_pairs_aligned(
-    pair_ids: jnp.ndarray,  # [P_cap] original Gaussian ids (tile-major)
-    starts: jnp.ndarray,  # [T]
-    counts: jnp.ndarray,  # [T]
-    mean2d: jnp.ndarray,
-    conic: jnp.ndarray,
-    rgb: jnp.ndarray,
-    depth: jnp.ndarray,
-    opac: jnp.ndarray,
-    *,
-    height: int,
-    width: int,
-    tiles_x: int,
-    tiles_y: int,
-    tile_px: int,
-    bg: jnp.ndarray,
-    chunk: int = 128,
-    interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Block-aligned pair-stream composite with a 1-D grid over REAL
-    blocks (see align_pair_stream). Output identical to
-    composite_pairs_pallas; grid cost independent of max_per_tile."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    num_tiles = tiles_x * tiles_y
-    p = tile_px * tile_px
-    p_cap = pair_ids.shape[0]
-    pc = -(-p_cap // chunk) * chunk
-    if pc != p_cap:
-        pair_ids = jnp.pad(pair_ids, (0, pc - p_cap))
-
-    aligned_ids, tile_of, rem, first = align_pair_stream(
-        pair_ids, starts, counts, num_tiles, chunk
-    )
-    data = assemble_stream_data(
-        aligned_ids, mean2d, conic, rgb, depth, opac
-    )  # [FEAT, MB*chunk]
-    max_blocks = tile_of.shape[0]
-
-    kernel = functools.partial(
-        _blocks_kernel,
-        tile_px=tile_px,
-        tiles_x=tiles_x,
-        chunk=chunk,
-        num_tiles=num_tiles,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(max_blocks,),
-        in_specs=[
-            pl.BlockSpec((FEAT, chunk), lambda b, *_: (0, b)),
-        ],
-        # +1 dummy row: blocks past the real stream park their writes there
-        out_specs=pl.BlockSpec(
-            (1, 8, p), lambda b, tile_of, *_: (tile_of[b], 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((4, p), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, p), jnp.float32),
-        interpret=interpret,
-    )(tile_of, rem, first, data)
-    out = out[:num_tiles]
-
-    rgbd = out[:, 0:4, :]
-    trans = out[:, 4, :]
-    color = jnp.moveaxis(rgbd[:, 0:3, :], 1, -1)
-    color = color + trans[..., None] * bg[None, None, :]
-
-    def to_img(x):
-        trailing = x.shape[2:]
-        img = x.reshape((tiles_y, tiles_x, tile_px, tile_px) + trailing)
-        img = jnp.swapaxes(img, 1, 2).reshape(
-            (tiles_y * tile_px, tiles_x * tile_px) + trailing
-        )
-        return img[:height, :width]
-
-    return to_img(color), to_img(rgbd[:, 3, :]), to_img(trans)
+# NB a 1-D block-aligned stream kernel (grid over real pair blocks via a
+# data-dependent OUT index map, alignment on ids before the gather) was
+# built and measured in round 5 and LOST at every operating point --
+# trained 512^2: 41.8 vs 16.0 ms; trained 1080p tile64: 70.6 vs 57.0;
+# trained 1080p tile32: 194.6 vs 88.6 -- the scalar-prefetch-dependent out
+# map defeats Mosaic's output pipelining (every step pays the flush), so
+# it was deleted like the round-2 block kernel. The (tile, slot) grid's
+# dead steps cost only ~0.36 us each (mpt 8192 vs 2048 kernel-only: 42.2
+# vs 33.4 ms at 1080p); the live-chunk VPU work is the real budget.
 
 
 def composite_pairs_pallas(
@@ -573,7 +375,7 @@ def composite_pairs_pallas(
     max_per_tile: int = 2048,
     chunk: int = 128,
     interpret: bool | None = None,
-    slim_gather: bool = False,
+    slim_gather: bool = True,
     data: jnp.ndarray | None = None,  # precomputed [FEAT, Pc] stream
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pair-stream composite: the kernel reads CONTIGUOUS chunks of the

@@ -33,10 +33,10 @@ class RenderOut(NamedTuple):
     radii: Float[jnp.ndarray, "N"]
     visible: Bool[jnp.ndarray, "N"]  # visibility filter
     spill: Int[jnp.ndarray, ""]  # binning overflow (diagnostic)
-    # [3] int32 (gauss, tile, stream) overflow attribution — which cap
-    # class to grow (binning.PairBins.spill_parts); None on the [T, K]
+    # [4] int32 (slot, cap, tile, stream) overflow attribution — which
+    # cap class to grow (binning.PairBins.spill_parts); None on the [T, K]
     # list backends
-    spill_parts: Int[jnp.ndarray, "3"] = None
+    spill_parts: Int[jnp.ndarray, "4"] = None
 
 
 def grow_caps(caps: dict, parts) -> dict:
@@ -44,19 +44,24 @@ def grow_caps(caps: dict, parts) -> dict:
 
     ``caps`` keys: max_per_tile / max_tiles_per_gaussian / small_slots /
     max_pairs / big_capacity. ``parts`` is RenderOut.spill_parts
-    ((gauss, tile, stream) int32) or None — None doubles everything (the
-    legacy behavior). Selective growth keeps binning sort rows bounded:
-    the round-5 1080p ladder that doubled everything overshot
-    big_capacity 4x and paid 22.6 ms of sort on a 63 ms frame."""
+    ((slot, cap, tile, stream) int32, binning.PairBins) or None — None
+    doubles everything (the legacy behavior). Selective growth keeps
+    binning sort rows bounded: the round-5 1080p ladder that doubled
+    everything overshot big_capacity 4x and paid 22.6 ms of sort on a
+    63 ms frame; slot-vs-capacity separation stops max_tiles_per_gaussian
+    overflow from also doubling small_slots and big_capacity."""
     c = dict(caps)
     if parts is None:
-        gauss = tile = stream = True
+        slot = cap = tile = stream = True
     else:
         p = [int(x) for x in parts]
-        gauss, tile, stream = p[0] > 0, p[1] > 0, p[2] > 0
-    if gauss:
+        if len(p) == 3:  # legacy (gauss, tile, stream)
+            p = [p[0], p[0], p[1], p[2]]
+        slot, cap, tile, stream = (x > 0 for x in p)
+    if slot:
         c["max_tiles_per_gaussian"] = min(
             c["max_tiles_per_gaussian"] * 2, 256)
+    if cap:
         c["small_slots"] = min(c["small_slots"] * 2, 32)
         # 0 = the binning auto default (n/32 capped) — jump past it rather
         # than shrinking to a fixed small number
@@ -86,7 +91,7 @@ def render(
     chunk: int = 64,
     backend: str = "jnp",
     tight_cull: bool = False,
-    slim_gather: bool = False,
+    slim_gather: bool = True,
 ) -> RenderOut:
     """backend: "jnp" (differentiable, XLA-fused) or "pallas" (TPU Mosaic
     forward kernel, fastest inference path).
@@ -171,7 +176,7 @@ def render(
             spill_parts=pb.spill_parts,
         )
 
-    if backend in ("pallas_stream", "pallas_aligned"):
+    if backend == "pallas_stream":
         # NB a block-aligned stream variant (one kernel cell per real pair
         # block instead of the (tile, slot) grid) was built and measured in
         # rounds 2-3: it lost at EVERY operating point — 23.8 vs 9.9 ms at
@@ -197,46 +202,25 @@ def render(
             small_slots=small_slots,
             **cull_kw,
         )
-        if backend == "pallas_aligned":
-            # 1-D block grid over REAL pairs (grid independent of
-            # max_per_tile — see pallas_composite.align_pair_stream)
-            color, depth, final_t = pallas_composite.composite_pairs_aligned(
-                pb.pair_ids,
-                pb.starts,
-                pb.counts,
-                mean2d,
-                prep.conic,
-                prep.rgb,
-                prep.depth,
-                prep.opacity,
-                height=cam.height,
-                width=cam.width,
-                tiles_x=pb.tiles_x,
-                tiles_y=pb.tiles_y,
-                tile_px=tile_px,
-                bg=bg,
-                chunk=max(chunk, 128),
-            )
-        else:
-            color, depth, final_t = pallas_composite.composite_pairs_pallas(
-                pb.pair_ids,
-                pb.starts,
-                pb.counts,
-                mean2d,
-                prep.conic,
-                prep.rgb,
-                prep.depth,
-                prep.opacity,
-                height=cam.height,
-                width=cam.width,
-                tiles_x=pb.tiles_x,
-                tiles_y=pb.tiles_y,
-                tile_px=tile_px,
-                bg=bg,
-                max_per_tile=max_per_tile,
-                chunk=max(chunk, 128),
-                slim_gather=slim_gather,
-            )
+        color, depth, final_t = pallas_composite.composite_pairs_pallas(
+            pb.pair_ids,
+            pb.starts,
+            pb.counts,
+            mean2d,
+            prep.conic,
+            prep.rgb,
+            prep.depth,
+            prep.opacity,
+            height=cam.height,
+            width=cam.width,
+            tiles_x=pb.tiles_x,
+            tiles_y=pb.tiles_y,
+            tile_px=tile_px,
+            bg=bg,
+            max_per_tile=max_per_tile,
+            chunk=max(chunk, 128),
+            slim_gather=slim_gather,
+        )
         return RenderOut(
             color=color,
             depth=depth,
@@ -247,6 +231,8 @@ def render(
             spill_parts=pb.spill_parts,
         )
 
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown render backend {backend!r}")
     bins = binning.bin_gaussians(
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(prep.depth),
@@ -373,10 +359,12 @@ class SpillFreeRenderer:
         for cam in cams:
             color, spill = r(cam)     # re-grows if this view still spills
 
-    Caps double TOGETHER on every rung (max_per_tile,
-    max_tiles_per_gaussian, small_slots<=32, max_pairs, big_capacity) —
-    growing them independently hunts for the binding cap one recompile at
-    a time, and recompiles dominate the cost of over-provisioning.
+    The FIRST rung enables exact tight tile culling (the FitLoop rung
+    order): on anisotropic trained scenes culling removes the spilling
+    rect-inflation pairs outright — measured 2.3x on the p90-aspect-147
+    artifact (26.9 vs 61.0 ms at 512^2) — so caps often need no growth at
+    all. Subsequent rungs double only the overflowing cap class
+    (grow_caps + RenderOut.spill_parts).
     """
 
     def __init__(self, scene, bg=None, *, log=None, max_grow=6, **render_kw):
@@ -417,21 +405,36 @@ class SpillFreeRenderer:
                 render(s, c, bg, **kw))
         )
 
-    def _grow(self, sp: int, parts=None):
+    def _grow(self, sp: int, parts=None) -> bool:
+        """One ladder rung; returns True when caps actually grew (the
+        free tight_cull rung does not count against max_grow)."""
+        if not self._kw.get("tight_cull"):
+            # rung 0: cull before paying for capacity (exact, and the
+            # spilling pairs are usually exactly the cullable ones)
+            self._kw["tight_cull"] = True
+            self._log(f"render spill {sp}: enabling tight_cull")
+            self._fwd = self._make()
+            return False
         self._caps = grow_caps(self._caps, parts)
-        self._log(f"render spill {sp} (parts {None if parts is None else [int(x) for x in parts]}): "
-                  f"growing caps to {self._caps}")
+        self._log(f"render spill {sp} (parts "
+                  f"{None if parts is None else [int(x) for x in parts]}"
+                  f"): growing caps to {self._caps}")
         self._fwd = self._make()
+        return True
 
     def probe(self, cam) -> int:
         """Grow caps until ``cam`` renders with spill == 0 (or max_grow
         rungs are exhausted — returns the residual spill, 0 on success)."""
         sp = 0
-        for _ in range(self._max_grow):
+        grows = 0
+        while grows < self._max_grow:
             _, sp, parts = self._fwd(self._scene, cam)
             if int(sp) == 0:
                 return 0
-            self._grow(int(sp), parts)
+            grows += 1 if self._grow(int(sp), parts) else 0
+        # ladder exhausted after a final grow: re-probe so the reported
+        # residual matches the caps actually in effect
+        _, sp, _ = self._fwd(self._scene, cam)
         return int(sp)
 
     def __call__(self, cam, regrow: int = 4):

@@ -52,50 +52,6 @@ def test_pallas_stream_matches_jnp(rng):
     assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
 
 
-def test_pallas_aligned_matches_jnp(rng):
-    """1-D block-aligned stream kernel parity with the jnp reference
-    (pallas_composite.composite_pairs_aligned: grid over real pair blocks,
-    independent of max_per_tile)."""
-    scene = make_random_scene(rng, n=96)
-    _, cam = make_test_camera(height=32, width=32, angle=1.3)
-    bg = jnp.array([0.3, 0.0, 0.2])
-    ref = render.render(scene, cam, bg, tile_px=16, max_per_tile=128, chunk=32)
-    out = render.render(
-        scene, cam, bg, tile_px=16, max_per_tile=128, backend="pallas_aligned"
-    )
-    assert np.allclose(out.color, ref.color, atol=1e-4), (
-        np.abs(np.asarray(out.color) - np.asarray(ref.color)).max()
-    )
-    assert np.allclose(out.depth, ref.depth, atol=1e-3)
-    assert np.allclose(out.alpha, ref.alpha, atol=2e-4)
-
-
-def test_pallas_aligned_matches_stream_deep_tile(rng):
-    """Alignment bookkeeping under uneven tile loads: a scene clustered
-    onto few tiles (counts far above the chunk) plus empty tiles."""
-    scene = make_random_scene(rng, n=256)
-    # squeeze all gaussians toward the center so a handful of tiles are
-    # deep and the border tiles are empty
-    scene = scene.replace(xyz=scene.xyz * 0.25)
-    _, cam = make_test_camera(height=64, width=64, angle=0.7)
-    bg = jnp.array([0.05, 0.6, 0.1])
-    ref = render.render(scene, cam, bg, tile_px=16, max_per_tile=512,
-                        backend="pallas_stream")
-    out = render.render(scene, cam, bg, tile_px=16, max_per_tile=512,
-                        backend="pallas_aligned")
-    # the two kernels group a tile's pairs into chunks at different
-    # offsets (the aligned kernel starts every tile on a chunk boundary,
-    # the stream kernel starts mid-block), so fp rounding near the T_EPS
-    # termination threshold can flip one Gaussian's `applied` bit on a few
-    # pixels — bounded by alpha<=0.99 * T_EPS-scale effects (~2e-4
-    # measured on this scene, 16/4096 pixels)
-    assert np.allclose(out.color, ref.color, atol=5e-4), (
-        np.abs(np.asarray(out.color) - np.asarray(ref.color)).max()
-    )
-    assert np.allclose(out.depth, ref.depth, atol=1e-3)
-    assert np.allclose(out.alpha, ref.alpha, atol=5e-4)
-
-
 class TestPallasTrainBackend:
     def test_forward_matches(self, rng):
         scene = make_random_scene(rng, n=96)

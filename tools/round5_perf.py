@@ -245,9 +245,6 @@ def main(argv=None):
     ap.add_argument("--chunk-ab", action="store_true")
     ap.add_argument("--cull-ab", action="store_true")
     ap.add_argument("--slim-e2e", action="store_true")
-    ap.add_argument("--aligned-ab", action="store_true",
-                    help="e2e pallas_aligned (1-D block grid) vs "
-                    "pallas_stream at the same caps, +tight_cull combo")
     ap.add_argument("--tile32-1080p", action="store_true",
                     help="1080p at tile_px=32 (more pairs, 4x less "
                     "per-pair pixel work) with and without tight_cull")
@@ -304,20 +301,10 @@ def main(argv=None):
             tc_caps, fwd_tc = ladder(scene, cam, tile_px=tp,
                                      tight_cull=True)
             run_e2e(scene, cam, fwd_tc, f"trained {label} tight_cull")
-        if args.aligned_ab:
-            _, fwd_al = ladder(scene, cam, tile_px=tp, start=caps,
-                               max_grow=2, backend="pallas_aligned")
-            run_e2e(scene, cam, fwd_al, f"trained {label} ALIGNED")
-            _, fwd_alc = ladder(scene, cam, tile_px=tp, start=caps,
-                                max_grow=2, backend="pallas_aligned",
-                                tight_cull=True)
-            run_e2e(scene, cam, fwd_alc,
-                    f"trained {label} ALIGNED+tight_cull")
     if args.tile32_1080p:
         cam = make_cam(1080, 1920)
         for tc in (False, True):
-            for bk in (("pallas_stream",) if not args.aligned_ab
-                       else ("pallas_stream", "pallas_aligned")):
+            for bk in ("pallas_stream",):
                 c32, f32v = ladder(scene, cam, tile_px=32, tight_cull=tc,
                                    backend=bk)
                 run_e2e(scene, cam, f32v,

@@ -91,6 +91,15 @@ def job_quality_quick() -> int:
     return quality_gate.main(["--quick", "--inproc"])
 
 
+def job_quality_full_local() -> int:
+    """Full 40 dB gate (required whenever a round touches ops/ or
+    systems/{fit,densify,optim} — CLAUDE.md rule round 4 skirted) plus
+    the local-editing gate chained on the fitted scene."""
+    from tools import quality_gate
+
+    return quality_gate.main(["--inproc", "--local"])
+
+
 def job_smoke() -> int:
     from tools import tpu_smoke
 
@@ -113,6 +122,8 @@ def main(argv=None) -> int:
     ap.add_argument("--profile-edit", action="store_true",
                     help="edit-round roofline table (tools/profile_edit.py)")
     ap.add_argument("--quality-quick", action="store_true")
+    ap.add_argument("--quality-full-local", action="store_true",
+                    help="full 40 dB gate + local-editing gate")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args(argv)
 
@@ -133,6 +144,8 @@ def main(argv=None) -> int:
         jobs.append(("profile-edit", job_profile_edit))
     if args.quality_quick:
         jobs.append(("quality-quick", job_quality_quick))
+    if args.quality_full_local:
+        jobs.append(("quality-full-local", job_quality_full_local))
     if args.smoke:
         jobs.append(("smoke", job_smoke))
     if not jobs:

@@ -76,7 +76,7 @@ def main():
     print("[tpu_smoke] compiling jnp reference render...", flush=True)
     ref = jax.jit(lambda s, c: R.render(s, c, bg, backend="jnp", **kw))(
         scene, cam)
-    for be in ("pallas_stream", "pallas_aligned", "pallas"):
+    for be in ("pallas_stream", "pallas"):
         print(f"[tpu_smoke] compiling {be} render...", flush=True)
         out = jax.jit(lambda s, c, _be=be: R.render(
             s, c, bg, backend=_be, **kw))(scene, cam)
