@@ -619,7 +619,8 @@ class DGESystem:
             # silently fitting against truncated tile lists
             spill = int(aux.get("spill", 0))
             self.total_spill += spill
-            if self.loop.react_to_spill(spill, self.scene.capacity):
+            if self.loop.react_to_spill(spill, self.scene.capacity,
+                                        aux.get("spill_parts")):
                 cfg.max_per_tile = self.loop.max_per_tile
                 self._jit_cache.clear()
                 self._render_jit = self._make_render_jit()

@@ -138,6 +138,8 @@ def make_train_step(
             "psnr": L.psnr(out.color, target),
             "spill": out.spill,
         }
+        if out.spill_parts is not None:
+            aux["spill_parts"] = out.spill_parts
         return scene, opt_state, fit_state, aux
 
     return train_step
@@ -263,7 +265,8 @@ class FitLoop:
             tight_cull=self.tight_cull,
         )
 
-    def react_to_spill(self, spill: int, capacity: int) -> bool:
+    def react_to_spill(self, spill: int, capacity: int,
+                       parts=None) -> bool:
         """Adaptive spill ladder: persistent spill means the binning caps no
         longer fit the scene. Rungs, cheapest first: (1) enable exact tight
         tile culling (stops counting/emitting invisible pairs — with the
@@ -293,33 +296,51 @@ class FitLoop:
             self.tight_cull = True
             self.__post_init__()
             return True
+        # selective growth when the overflow attribution is available
+        # ((slot, cap, tile, stream), binning.PairBins.spill_parts) —
+        # lockstep growth overshot big_capacity 4x on a 1080p trained fit
+        # (22.6 ms of binning sort on a 63 ms frame, round 5)
+        if parts is not None:
+            pl = [int(x) for x in parts]
+            wants = [x > 0 for x in (
+                pl if len(pl) == 4 else [pl[0], pl[0], pl[1], pl[2]])]
+        else:
+            wants = [True] * 4
         grew = False
-        if self.max_tiles_per_gaussian < 256:
-            # honest (post-cull) per-Gaussian spill that persists means big
-            # splats genuinely intersect more tiles than the slot cap
-            self.max_tiles_per_gaussian *= 2
-            grew = True
-        if self.max_per_tile < 1 << 15:
-            self.max_per_tile *= 2
-            grew = True
-        auto_pairs = max(1 << 18, 1 << int(2 * capacity - 1).bit_length())
-        new_pairs = max(self.max_pairs or auto_pairs, auto_pairs) * 2
-        if new_pairs <= 1 << 22:
-            self.max_pairs = new_pairs
-            grew = True
-        auto_big = 1 << max(int(capacity // 32 - 1).bit_length(), 6)
-        new_big = max(self.big_capacity or auto_big, auto_big) * 2
-        if new_big <= capacity:
-            self.big_capacity = new_big
-            grew = True
-        if self.small_slots < 32:
-            # a flooded big grid usually means the whole population moved
-            # up a rect-size class (e.g. a high-res fit: median rect is 6
-            # tiles at 1080p) — raising the small/big threshold is far
-            # cheaper than big_capacity x2 forever (rows: N*slots vs
-            # big_cap*max_tiles)
-            self.small_slots *= 2
-            grew = True
+        for attempt_wants in ([wants, [True] * 4] if parts is not None
+                              else [wants]):
+            want_slot, want_cap, want_tile, want_stream = attempt_wants
+            if want_slot and self.max_tiles_per_gaussian < 256:
+                # honest (post-cull) per-Gaussian spill that persists means
+                # big splats genuinely intersect more tiles than the cap
+                self.max_tiles_per_gaussian *= 2
+                grew = True
+            if want_tile and self.max_per_tile < 1 << 15:
+                self.max_per_tile *= 2
+                grew = True
+            auto_pairs = max(1 << 18,
+                             1 << int(2 * capacity - 1).bit_length())
+            new_pairs = max(self.max_pairs or auto_pairs, auto_pairs) * 2
+            if want_stream and new_pairs <= 1 << 22:
+                self.max_pairs = new_pairs
+                grew = True
+            auto_big = 1 << max(int(capacity // 32 - 1).bit_length(), 6)
+            new_big = max(self.big_capacity or auto_big, auto_big) * 2
+            if want_cap and new_big <= capacity:
+                self.big_capacity = new_big
+                grew = True
+            if want_cap and self.small_slots < 32:
+                # a flooded big grid usually means the whole population
+                # moved up a rect-size class (e.g. a high-res fit: median
+                # rect is 6 tiles at 1080p) — raising the small/big
+                # threshold is far cheaper than big_capacity x2 forever
+                # (rows: N*slots vs big_cap*max_tiles)
+                self.small_slots *= 2
+                grew = True
+            if grew:
+                break
+            # else: attribution asked only for ceilinged caps — retry
+            # with every class so the ladder cannot stall below ceilings
         if grew:
             self.__post_init__()
         return grew

@@ -284,7 +284,9 @@ def run_fit(cfg, source, trial_dir, seed):
         scene, opt_state, fit_state = loop.maybe_housekeep(
             scene, opt_state, fit_state
         )
-        if loop.react_to_spill(int(aux["spill"]), scene.capacity):
+        parts = aux.get("spill_parts")
+        if loop.react_to_spill(int(aux["spill"]), scene.capacity,
+                               None if parts is None else parts):
             log.warning(
                 "step %d: binning spill persisted — grew caps to "
                 "max_per_tile=%d max_pairs=%d big_capacity=%d (re-jit)",
