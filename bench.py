@@ -244,10 +244,16 @@ def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
                  big_capacity=caps["big_capacity"]),
             parts,
         )
-        caps = dict(mpt=full["max_per_tile"],
-                    mtg=full["max_tiles_per_gaussian"],
-                    slots=full["small_slots"], max_pairs=full["max_pairs"],
-                    big_capacity=full["big_capacity"])
+        new_caps = dict(mpt=full["max_per_tile"],
+                        mtg=full["max_tiles_per_gaussian"],
+                        slots=full["small_slots"],
+                        max_pairs=full["max_pairs"],
+                        big_capacity=full["big_capacity"])
+        if new_caps == caps:
+            _progress(f"trained-scene spill {int(spill)}: caps at "
+                      "ceilings — stopping ladder")
+            break
+        caps = new_caps
         _progress(f"trained-scene spill {int(spill)} "
                   f"(parts {[int(x) for x in parts]}): caps -> {caps}")
         fwd = make_fwd(caps)

@@ -50,27 +50,34 @@ def grow_caps(caps: dict, parts) -> dict:
     everything overshot big_capacity 4x and paid 22.6 ms of sort on a
     63 ms frame; slot-vs-capacity separation stops max_tiles_per_gaussian
     overflow from also doubling small_slots and big_capacity."""
-    c = dict(caps)
     if parts is None:
-        slot = cap = tile = stream = True
+        wants = [True] * 4
     else:
         p = [int(x) for x in parts]
         if len(p) == 3:  # legacy (gauss, tile, stream)
             p = [p[0], p[0], p[1], p[2]]
-        slot, cap, tile, stream = (x > 0 for x in p)
-    if slot:
-        c["max_tiles_per_gaussian"] = min(
-            c["max_tiles_per_gaussian"] * 2, 256)
-    if cap:
-        c["small_slots"] = min(c["small_slots"] * 2, 32)
-        # 0 = the binning auto default (n/32 capped) — jump past it rather
-        # than shrinking to a fixed small number
-        c["big_capacity"] = (c["big_capacity"] * 2 if c["big_capacity"]
-                             else 8192)
-    if tile:
-        c["max_per_tile"] = c["max_per_tile"] * 2
-    if stream:
-        c["max_pairs"] = c["max_pairs"] * 2
+        wants = [x > 0 for x in p]
+    for attempt in ([wants, [True] * 4] if parts is not None else [wants]):
+        c = dict(caps)
+        slot, cap, tile, stream = attempt
+        if slot:
+            c["max_tiles_per_gaussian"] = min(
+                c["max_tiles_per_gaussian"] * 2, 256)
+        if cap:
+            c["small_slots"] = min(c["small_slots"] * 2, 32)
+            # 0 = the binning auto default (n/32 capped) — jump past it
+            # rather than shrinking to a fixed small number
+            c["big_capacity"] = (c["big_capacity"] * 2 if c["big_capacity"]
+                                 else 8192)
+        if tile:
+            c["max_per_tile"] = c["max_per_tile"] * 2
+        if stream:
+            c["max_pairs"] = c["max_pairs"] * 2
+        if c != caps:
+            return c
+        # attributed classes are all at their ceilings (e.g. slot spill
+        # with max_tiles_per_gaussian already 256) — retry with every
+        # class so the ladder cannot spin in place
     return c
 
 

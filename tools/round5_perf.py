@@ -126,7 +126,12 @@ def ladder(scene, cam, *, tile_px, tight_cull=False, chunk=128,
         _, sp, parts = fwd(scene)
         if int(sp) == 0:
             break
-        caps = R.grow_caps(caps, parts)
+        new_caps = R.grow_caps(caps, parts)
+        if new_caps == caps:
+            print(f"[round5_perf] spill {int(sp)}: all caps at ceilings — "
+                  "stopping ladder", flush=True)
+            break
+        caps = new_caps
         print(f"[round5_perf] spill {int(sp)} parts "
               f"{[int(x) for x in parts]} -> {caps}", flush=True)
         fwd = make(caps)
@@ -248,6 +253,11 @@ def main(argv=None):
     ap.add_argument("--tile32-1080p", action="store_true",
                     help="1080p at tile_px=32 (more pairs, 4x less "
                     "per-pair pixel work) with and without tight_cull")
+    ap.add_argument("--sweep-1080p", action="store_true",
+                    help="production-candidate sweep at 1080p: "
+                    "tile32+cull+slim at chunk 128/256/512, tile64 "
+                    "variant — grid steps = tiles x (mpt/chunk+1), so "
+                    "chunk is the dead-step knob at tile32's 2040 tiles")
     ap.add_argument("--skip-512", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny synthetic scene at 64^2 — CPU plumbing check")
@@ -309,6 +319,13 @@ def main(argv=None):
                                    backend=bk)
                 run_e2e(scene, cam, f32v,
                         f"trained 1920x1080 tile32 {bk} tight={tc}")
+    if args.sweep_1080p:
+        cam = make_cam(1080, 1920)
+        for tp, ck in ((32, 128), (32, 256), (32, 512), (64, 256)):
+            _, fv = ladder(scene, cam, tile_px=tp, tight_cull=True,
+                           chunk=ck, slim_gather=True)
+            run_e2e(scene, cam, fv,
+                    f"trained 1920x1080 tile{tp} cull slim chunk{ck}")
     return 0
 
 
