@@ -229,7 +229,8 @@ def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
         )(R.render(s, cm, bg, tile_px=tile_px, max_per_tile=c["mpt"],
                    max_tiles_per_gaussian=c["mtg"], small_slots=c["slots"],
                    max_pairs=c["max_pairs"], big_capacity=c["big_capacity"],
-                   chunk=64, backend=backend, tight_cull=tight_cull)))
+                   chunk=c.get("chunk", 64), backend=backend,
+                   tight_cull=tight_cull)))
 
     fwd = make_fwd(caps)
     spill = None
@@ -249,6 +250,8 @@ def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
                         slots=full["small_slots"],
                         max_pairs=full["max_pairs"],
                         big_capacity=full["big_capacity"])
+        if "chunk" in caps:  # kernel chunk is a config knob, not a cap
+            new_caps["chunk"] = caps["chunk"]
         if new_caps == caps:
             _progress(f"trained-scene spill {int(spill)}: caps at "
                       "ceilings — stopping ladder")
@@ -602,15 +605,18 @@ def main():
         try:
             _progress("render trained scene at 1080p (the reference's own "
                       "claim context)...")
-            # tile32 + tight culling is the measured 1080p operating point
-            # on trained scenes (round 5 A/B: 37.7 ms vs 48.5 tile64+cull
-            # vs 57.0 tile64 vs 88.6 tile32 bare — culling kills the rect
-            # inflation that made tile32 lose, and keeps the 4x-smaller
-            # per-pair pixel work)
+            # tile32 + tight culling + chunk 256 is the measured 1080p
+            # operating point on trained scenes (round-5 sweep: 35.5 ms vs
+            # 36.4 chunk128 vs 36.8 tile64+cull vs 47.3 tile64 vs 62.2
+            # tile32 bare — culling kills the rect inflation that made
+            # tile32 lose, keeps the 4x-smaller per-pair pixel work, and
+            # chunk 256 halves the dead grid steps over 2040 tiles). Start
+            # caps = the ladder-converged set for the committed artifact.
             fps_t1, spill_t1, _ = bench_render_trained(
                 bg, height=1080, width=1920, tile_px=32, tight_cull=True,
-                start_caps=dict(mpt=2048, mtg=64, slots=8,
-                                max_pairs=1 << 20, big_capacity=8192),
+                start_caps=dict(mpt=2048, mtg=64, slots=16,
+                                max_pairs=1 << 20, big_capacity=16384,
+                                chunk=256),
             )
             extra["render_fps_trained_1080p"] = round(fps_t1, 2)
             extra["render_trained_1080p_spill"] = spill_t1

@@ -57,27 +57,27 @@ def grow_caps(caps: dict, parts) -> dict:
         if len(p) == 3:  # legacy (gauss, tile, stream)
             p = [p[0], p[0], p[1], p[2]]
         wants = [x > 0 for x in p]
-    for attempt in ([wants, [True] * 4] if parts is not None else [wants]):
-        c = dict(caps)
-        slot, cap, tile, stream = attempt
-        if slot:
-            c["max_tiles_per_gaussian"] = min(
-                c["max_tiles_per_gaussian"] * 2, 256)
-        if cap:
-            c["small_slots"] = min(c["small_slots"] * 2, 32)
-            # 0 = the binning auto default (n/32 capped) — jump past it
-            # rather than shrinking to a fixed small number
-            c["big_capacity"] = (c["big_capacity"] * 2 if c["big_capacity"]
-                                 else 8192)
-        if tile:
-            c["max_per_tile"] = c["max_per_tile"] * 2
-        if stream:
-            c["max_pairs"] = c["max_pairs"] * 2
-        if c != caps:
-            return c
-        # attributed classes are all at their ceilings (e.g. slot spill
-        # with max_tiles_per_gaussian already 256) — retry with every
-        # class so the ladder cannot spin in place
+    c = dict(caps)
+    slot, cap, tile, stream = wants
+    if slot:
+        c["max_tiles_per_gaussian"] = min(
+            c["max_tiles_per_gaussian"] * 2, 256)
+    if cap:
+        c["small_slots"] = min(c["small_slots"] * 2, 32)
+        # 0 = the binning auto default (n/32 capped) — jump past it
+        # rather than shrinking to a fixed small number
+        c["big_capacity"] = (c["big_capacity"] * 2 if c["big_capacity"]
+                             else 8192)
+    if tile:
+        c["max_per_tile"] = c["max_per_tile"] * 2
+    if stream:
+        c["max_pairs"] = c["max_pairs"] * 2
+    # NB: when every attributed class is already at its ceiling the caps
+    # come back UNCHANGED — callers must treat that as an irreducible
+    # residual (e.g. needle scenes where single Gaussians genuinely span
+    # more than 256 tiles) and stop, NOT fall back to growing unrelated
+    # caps: growing max_pairs to 2^23 cannot reduce a slot-class spill by
+    # definition (measured runaway on the hi-aniso scene, round 5).
     return c
 
 
@@ -412,22 +412,28 @@ class SpillFreeRenderer:
                 render(s, c, bg, **kw))
         )
 
-    def _grow(self, sp: int, parts=None) -> bool:
-        """One ladder rung; returns True when caps actually grew (the
-        free tight_cull rung does not count against max_grow)."""
+    def _grow(self, sp: int, parts=None):
+        """One ladder rung. Returns "cull" (free rung: enabled culling),
+        "grew" (caps doubled), or "stuck" (attributed classes at their
+        ceilings — irreducible residual, callers should stop)."""
         if not self._kw.get("tight_cull"):
             # rung 0: cull before paying for capacity (exact, and the
             # spilling pairs are usually exactly the cullable ones)
             self._kw["tight_cull"] = True
             self._log(f"render spill {sp}: enabling tight_cull")
             self._fwd = self._make()
-            return False
-        self._caps = grow_caps(self._caps, parts)
+            return "cull"
+        new = grow_caps(self._caps, parts)
+        if new == self._caps:
+            self._log(f"render spill {sp}: caps at ceilings — "
+                      "irreducible residual")
+            return "stuck"
+        self._caps = new
         self._log(f"render spill {sp} (parts "
                   f"{None if parts is None else [int(x) for x in parts]}"
                   f"): growing caps to {self._caps}")
         self._fwd = self._make()
-        return True
+        return "grew"
 
     def probe(self, cam) -> int:
         """Grow caps until ``cam`` renders with spill == 0 (or max_grow
@@ -438,7 +444,10 @@ class SpillFreeRenderer:
             _, sp, parts = self._fwd(self._scene, cam)
             if int(sp) == 0:
                 return 0
-            grows += 1 if self._grow(int(sp), parts) else 0
+            rung = self._grow(int(sp), parts)
+            if rung == "stuck":
+                return int(sp)
+            grows += 1 if rung == "grew" else 0
         # ladder exhausted after a final grow: re-probe so the reported
         # residual matches the caps actually in effect
         _, sp, _ = self._fwd(self._scene, cam)
@@ -452,7 +461,8 @@ class SpillFreeRenderer:
         for _ in range(regrow):
             if int(sp) == 0:
                 break
-            self._grow(int(sp), parts)
+            if self._grow(int(sp), parts) == "stuck":
+                break
             color, sp, parts = self._fwd(self._scene, cam)
         return color, int(sp)
 

@@ -350,7 +350,11 @@ class DGESystem:
         self.scene, self.opt_state, self.fit_state, _ = self.loop.maybe_densify(
             self.scene, self.opt_state, self.fit_state, rng
         )
-        return {k: float(v) for k, v in aux.items()}
+        # spill_parts is a [4] attribution vector; everything else scalar
+        return {
+            k: (np.asarray(v) if getattr(v, "ndim", 0) else float(v))
+            for k, v in aux.items()
+        }
 
     # ---- SDS mode (use_sds branch, DGE.py:685-694) ----
     def _sds_fit_fn(self, rh: int, rw: int):

@@ -307,8 +307,7 @@ class FitLoop:
         else:
             wants = [True] * 4
         grew = False
-        for attempt_wants in ([wants, [True] * 4] if parts is not None
-                              else [wants]):
+        for attempt_wants in [wants]:
             want_slot, want_cap, want_tile, want_stream = attempt_wants
             if want_slot and self.max_tiles_per_gaussian < 256:
                 # honest (post-cull) per-Gaussian spill that persists means
@@ -337,10 +336,9 @@ class FitLoop:
                 # (rows: N*slots vs big_cap*max_tiles)
                 self.small_slots *= 2
                 grew = True
-            if grew:
-                break
-            # else: attribution asked only for ceilinged caps — retry
-            # with every class so the ladder cannot stall below ceilings
+            # no fallback to unrelated classes when the attributed ones
+            # are at ceilings: that spill is irreducible (e.g. a needle
+            # spanning >256 tiles) and growing other caps cannot help
         if grew:
             self.__post_init__()
         return grew
