@@ -98,7 +98,6 @@ data:
 system:
   model_size: tiny
   prompt: "make the object red"
-  seg_prompt: "object"
   segmentor: precomputed
   mask_dir: {masks_dir}
   guidance:
@@ -106,11 +105,15 @@ system:
     diffusion_steps: 5
     camera_batch_size: 4
   edit:
+    # seg_prompt/mask_thres live on EditConfig (system.edit), NOT on the
+    # system block — the first gate run put them one level up and the
+    # grad mask was silently never installed (unmasked PSNR 14.9 dB)
+    seg_prompt: "object"
+    mask_thres: 0.8
     max_steps: 200
     camera_update_per_step: 100
     camera_batch_size: 4
     max_view_num: 8
-    mask_thres: 0.8
     densify_until: 0
     gs_lr_scaler: 1.0e-4
     gs_final_lr_scaler: 1.0e-4

@@ -91,6 +91,28 @@ def job_quality_quick() -> int:
     return quality_gate.main(["--quick", "--inproc"])
 
 
+def job_local_gate() -> int:
+    """Local-editing gate only, reusing the newest quality-gate fit."""
+    from tools import quality_gate
+
+    plys = glob.glob(os.path.join(
+        REPO, "outputs", "quality_gate", "*", "fitdemo", "*",
+        "point_cloud.ply"))
+    if not plys:
+        print("[tpu_batch] no quality-gate fit to reuse", file=sys.stderr)
+        return 1
+    ply = max(plys, key=os.path.getmtime)
+    return quality_gate.main(["--inproc", "--local", "--ply", ply])
+
+
+def job_bench() -> int:
+    """Full bench.py in-process (same JSON lines the driver parses)."""
+    import runpy
+
+    runpy.run_path(os.path.join(REPO, "bench.py"), run_name="__main__")
+    return 0
+
+
 def job_quality_full_local() -> int:
     """Full 40 dB gate (required whenever a round touches ops/ or
     systems/{fit,densify,optim} — CLAUDE.md rule round 4 skirted) plus
@@ -124,6 +146,10 @@ def main(argv=None) -> int:
     ap.add_argument("--quality-quick", action="store_true")
     ap.add_argument("--quality-full-local", action="store_true",
                     help="full 40 dB gate + local-editing gate")
+    ap.add_argument("--local-gate", action="store_true",
+                    help="local-editing gate on the newest fitted scene")
+    ap.add_argument("--bench", action="store_true",
+                    help="run the full bench.py in-process")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args(argv)
 
@@ -146,6 +172,10 @@ def main(argv=None) -> int:
         jobs.append(("quality-quick", job_quality_quick))
     if args.quality_full_local:
         jobs.append(("quality-full-local", job_quality_full_local))
+    if args.local_gate:
+        jobs.append(("local-gate", job_local_gate))
+    if args.bench:
+        jobs.append(("bench", job_bench))
     if args.smoke:
         jobs.append(("smoke", job_smoke))
     if not jobs:
