@@ -432,59 +432,39 @@ def bin_gaussians_pairs(
     )
 
 
-def _bucketed_pair_keys(
-    x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits, m1, m2, b2,
+def _compact_tier(
+    member, b, m, r_cap, x0, y0, w, cnt, dq, tiles_x, num_tiles, depth_bits,
     mean2d=None, conic=None, opacity=None, tile_px=None,
 ):
-    """Two-tier (tile, Gaussian) key emission; returns (keys, ids,
-    gauss_spill). Exact up to the same per-Gaussian m2 cap as the flat
-    grid, plus a b2 capacity on how many 'large' Gaussians exist (overflow
-    counted, never silent)."""
+    """Compact one emission tier: pack the ``member`` Gaussians' ids into
+    ``b`` slots with one scatter-free 1-D sort (member ids first, in id
+    order) and emit up to ``m`` tiles each into a [b, m] key grid.
+
+    With culling inputs this is cull-then-compact: enumerate up to
+    ``r_cap`` rect tiles per member, drop the invisible ones
+    (tile_keep_mask), and pack the SURVIVORS into the m slots with one
+    row-wise stable sort — a thin diagonal splat spanning a 20x20 rect
+    truly intersects ~O(20) tiles; the uncompacted grid would emit the
+    first m rect tiles (top rows, mostly invisible) and spill the rest
+    (measured 173k falsely "spilled" pairs on a trained scene). b is
+    small, so the [r_cap, b] candidate grid is cheap where an [N, r_cap]
+    one would not be.
+
+    Returns (keys [b, m], ids [b, m], slot_spill, overflowed [N] — the
+    members beyond the b capacity, to be degraded to the small grid)."""
     n = cnt.shape[0]
     ids_all = jnp.arange(n, dtype=jnp.int32)
-    big = vis & (cnt > m1)
-    # big Gaussians beyond the b2 slot capacity degrade gracefully: they
-    # keep their first m1 tiles in the small grid (dense densified scenes
-    # can have far more than n/32 multi-tile Gaussians; dropping them
-    # entirely corrupted training at the 256^2 fit operating point)
-    rank = jnp.cumsum(big.astype(jnp.int32)) - 1
-    overflowed = big & (rank >= b2)
-
-    j1 = jnp.arange(m1, dtype=jnp.int32)
-    wsafe = jnp.maximum(w, 1)[:, None]
-    tx1 = x0[:, None] + j1[None, :] % wsafe
-    ty1 = y0[:, None] + j1[None, :] // wsafe
-    in_small = vis & (~big | overflowed)
-    valid1 = (j1[None, :] < cnt[:, None]) & in_small[:, None]
-    if conic is not None:
-        valid1 &= _cull_valid(mean2d, conic, opacity, x0, y0, w, j1, tile_px)
-    tid1 = jnp.where(valid1, ty1 * tiles_x + tx1, num_tiles)
-    keys1 = (tid1 << depth_bits) | dq[:, None]
-    ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
-
-    # compact the (non-overflowed) large Gaussians' ids with one 1-D sort
-    # (scatter-free; big ids first, in id order)
-    slot_ids = jax.lax.sort(jnp.where(big, ids_all, n + ids_all))[:b2]
+    rank = jnp.cumsum(member.astype(jnp.int32)) - 1
+    overflowed = member & (rank >= b)
+    slot_ids = jax.lax.sort(jnp.where(member, ids_all, n + ids_all))[:b]
     occupied = slot_ids < n
     sid = jnp.where(occupied, slot_ids, 0)
-    j2 = jnp.arange(m2, dtype=jnp.int32)
-    slotted = big & ~overflowed
+    j2 = jnp.arange(m, dtype=jnp.int32)
     if conic is not None:
-        # cull-then-compact: enumerate up to R rect tiles per big Gaussian,
-        # drop the invisible ones (tile_keep_mask), and pack the SURVIVORS
-        # into the m2 slots with one row-wise stable sort. A thin diagonal
-        # splat spanning a 20x20 rect truly intersects ~O(20) tiles; the
-        # uncompacted grid would emit the first m2 rect tiles (top rows,
-        # mostly invisible) and spill the rest — measured 173k falsely
-        # "spilled" pairs on a trained scene. b2 is small, so the [b2, R]
-        # candidate grid is cheap where an [N, R] one would not be.
-        # 2*m2 candidate headroom so the ladder's max_tiles_per_gaussian
-        # growth keeps buying inspected rect tiles past 256 (a rect larger
-        # than r would otherwise spill its tail uninspected forever)
-        r = min(num_tiles, max(256, 2 * m2))
+        r = min(num_tiles, r_cap)
         jr = jnp.arange(r, dtype=jnp.int32)
         wbT = jnp.maximum(w[sid], 1)[None, :]
-        txT = x0[sid][None, :] + jr[:, None] % wbT  # [R, b2]
+        txT = x0[sid][None, :] + jr[:, None] % wbT  # [R, b]
         tyT = y0[sid][None, :] + jr[:, None] // wbT
         candT = (jr[:, None] < cnt[sid][None, :]) & occupied[None, :]
         keepT = candT & _tile_keep_mask_T(
@@ -493,26 +473,26 @@ def _bucketed_pair_keys(
         tid_candT = jnp.where(keepT, tyT * tiles_x + txT, num_tiles)
         # row-major emission rank for kept tiles, R for culled: the stable
         # per-column sort packs kept tiles first in original order
-        # (dimension=0 keeps the lane-friendly [R, b2] layout; only the
-        # small [m2, b2] prefix is transposed out)
+        # (dimension=0 keeps the lane-friendly [R, b] layout; only the
+        # small [m, b] prefix is transposed out)
         rankkeyT = jnp.where(keepT, jr[:, None], r)
         _, tid_packedT = jax.lax.sort(
             (rankkeyT, tid_candT), dimension=0, num_keys=1, is_stable=True
         )
-        kept_cnt = jnp.sum(keepT, axis=0)  # [b2]
+        kept_cnt = jnp.sum(keepT, axis=0)  # [b]
         valid2 = occupied[:, None] & (
-            j2[None, :] < jnp.minimum(kept_cnt, m2)[:, None]
+            j2[None, :] < jnp.minimum(kept_cnt, m)[:, None]
         )
-        packed = tid_packedT[:m2].T  # [b2, min(m2, r)]
-        if r < m2:  # tiny tile grids: fewer candidates than slots
+        packed = tid_packedT[:m].T  # [b, min(m, r)]
+        if r < m:  # tiny tile grids: fewer candidates than slots
             packed = jnp.pad(
-                packed, ((0, 0), (0, m2 - r)), constant_values=num_tiles
+                packed, ((0, 0), (0, m - r)), constant_values=num_tiles
             )
         tid2 = jnp.where(valid2, packed, num_tiles)
-        # true spill: kept tiles beyond the m2 slots, plus rect tiles
+        # true spill: kept tiles beyond the m slots, plus rect tiles
         # beyond the R enumeration bound (uninspected, counted raw)
-        spill_big = jnp.sum(
-            jnp.where(occupied, jnp.maximum(kept_cnt - m2, 0), 0)
+        slot_spill = jnp.sum(
+            jnp.where(occupied, jnp.maximum(kept_cnt - m, 0), 0)
         ) + jnp.sum(
             jnp.where(occupied, jnp.maximum(cnt[sid] - r, 0), 0)
         )
@@ -522,17 +502,85 @@ def _bucketed_pair_keys(
         ty2 = y0[sid][:, None] + j2[None, :] // wb_safe
         valid2 = occupied[:, None] & (j2[None, :] < cnt[sid][:, None])
         tid2 = jnp.where(valid2, ty2 * tiles_x + tx2, num_tiles)
-        spill_big = jnp.sum(jnp.where(slotted, jnp.maximum(cnt - m2, 0), 0))
+        slotted = member & ~overflowed
+        slot_spill = jnp.sum(
+            jnp.where(slotted, jnp.maximum(cnt - m, 0), 0))
     keys2 = (tid2 << depth_bits) | dq[sid][:, None]
     ids2 = jnp.broadcast_to(sid[:, None], keys2.shape)
+    return keys2, ids2, slot_spill, overflowed
 
-    keys = jnp.concatenate([keys1.reshape(-1), keys2.reshape(-1)])
-    ids = jnp.concatenate([ids1.reshape(-1), ids2.reshape(-1)])
+
+def _bucketed_pair_keys(
+    x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits, m1, m2, b2,
+    mean2d=None, conic=None, opacity=None, tile_px=None,
+):
+    """Three-tier (tile, Gaussian) key emission; returns (keys, ids,
+    spill_slot, spill_cap). Exact up to the same per-Gaussian m2 cap as
+    the flat grid, plus capacity bounds on the mid/big populations
+    (overflow counted, never silent).
+
+    Tiers (round-5 restructure): small (cnt <= m1) emit into the dense
+    [N, m1] grid; MID (m1 < cnt <= m_mid=min(32, m2)) compact into a
+    [4*b2, m_mid] grid; big (cnt > m_mid) compact into [b2, m2]. At the
+    trained-1080p operating point (N=115k, slots 16 -> 8, mtg 64,
+    big 16384) this cuts sort rows ~2x vs the two-tier layout: the mids
+    (9..32 rect tiles) no longer force either small_slots growth or
+    m2-wide big rows. Mid/big Gaussians beyond their tier capacity
+    degrade gracefully to their first m1 tiles in the small grid (dense
+    densified scenes can have far more multi-tile Gaussians than any
+    fixed capacity; dropping them entirely corrupted training at the
+    256^2 fit operating point)."""
+    cull = dict(mean2d=mean2d, conic=conic, opacity=opacity,
+                tile_px=tile_px)
+    common = (x0, y0, w, cnt, dq, tiles_x, num_tiles, depth_bits)
+    m_mid = min(32, m2)
+    use_mid = m1 < m_mid < m2
+    if use_mid:
+        mid = vis & (cnt > m1) & (cnt <= m_mid)
+        big = vis & (cnt > m_mid)
+        # mid tier: cnt <= m_mid == slot count, so the full rect is always
+        # inspected (r_cap = m_mid) and the tier can never slot-spill
+        keys_m, ids_m, spill_m, over_m = _compact_tier(
+            mid, 4 * b2, m_mid, m_mid, *common, **cull)
+    else:
+        mid = jnp.zeros_like(vis)
+        big = vis & (cnt > m1)
+        keys_m = ids_m = None
+        spill_m = jnp.int32(0)
+        over_m = jnp.zeros_like(vis)
+    # 2*m2 candidate headroom so the ladder's max_tiles_per_gaussian
+    # growth keeps buying inspected rect tiles past 256 (a rect larger
+    # than r would otherwise spill its tail uninspected forever)
+    keys_b, ids_b, spill_b, over_b = _compact_tier(
+        big, b2, m2, max(256, 2 * m2), *common, **cull)
+
+    n = cnt.shape[0]
+    ids_all = jnp.arange(n, dtype=jnp.int32)
+    j1 = jnp.arange(m1, dtype=jnp.int32)
+    wsafe = jnp.maximum(w, 1)[:, None]
+    tx1 = x0[:, None] + j1[None, :] % wsafe
+    ty1 = y0[:, None] + j1[None, :] // wsafe
+    in_small = vis & ((~mid & ~big) | over_m | over_b)
+    valid1 = (j1[None, :] < cnt[:, None]) & in_small[:, None]
+    if conic is not None:
+        valid1 &= _cull_valid(mean2d, conic, opacity, x0, y0, w, j1, tile_px)
+    tid1 = jnp.where(valid1, ty1 * tiles_x + tx1, num_tiles)
+    keys1 = (tid1 << depth_bits) | dq[:, None]
+    ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
+
+    parts_k = [keys1.reshape(-1), keys_b.reshape(-1)]
+    parts_i = [ids1.reshape(-1), ids_b.reshape(-1)]
+    if keys_m is not None:
+        parts_k.insert(1, keys_m.reshape(-1))
+        parts_i.insert(1, ids_m.reshape(-1))
+    keys = jnp.concatenate(parts_k)
+    ids = jnp.concatenate(parts_i)
     # two gauss spill classes with different remedies: slot overflow
     # (tiles beyond m2 -> grow max_tiles_per_gaussian) vs capacity
-    # overflow (big Gaussians beyond the b2 slots, truncated to their
-    # first m1 tiles -> grow big_capacity / small_slots)
-    spill_slot = spill_big
+    # overflow (mid/big Gaussians beyond their tier capacity, truncated
+    # to their first m1 tiles -> grow big_capacity / small_slots)
+    spill_slot = spill_b + spill_m
+    overflowed = over_m | over_b
     spill_cap = jnp.sum(
         jnp.where(overflowed, jnp.maximum(cnt - m1, 0), 0))
     return keys, ids, spill_slot, spill_cap

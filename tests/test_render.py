@@ -272,6 +272,50 @@ class TestBinningVariants:
             assert (np.diff(depth[ia]) > -1e-4).all(), t
             assert (np.diff(depth[ib]) > -1e-4).all(), t
 
+    def test_three_tier_emission_matches_flat(self, rng):
+        """The round-5 mid tier (m1 < cnt <= 32, compacted) must keep the
+        pair coverage identical to the flat [N, M] grid — same counts,
+        same per-tile pair sets, same spill — with and without culling.
+        Needs max_tiles_per_gaussian > 32 so the mid tier activates."""
+        from dge_tpu.ops import binning, projection
+
+        scene = make_random_scene(rng, n=256)
+        # inflate some scales so all three classes are populated
+        bump = (np.arange(scene.capacity) % 7 == 0).astype(np.float32) * 2.0
+        scene = scene.replace(
+            scaling=scene.scaling + jnp.asarray(bump)[:, None]
+        )
+        _, cam = make_test_camera(height=128, width=128)
+        prep = projection.preprocess(
+            scene.xyz, scene.get_scaling, scene.get_rotation,
+            scene.get_opacity, scene.get_features, scene.alive, cam,
+            scene.active_sh_degree, scene.max_sh_degree,
+        )
+        for cull in (False, True):
+            ckw = (dict(conic=prep.conic, opacity=prep.opacity)
+                   if cull else {})
+            kw = dict(
+                height=128, width=128, tile_px=16, max_per_tile=512,
+                max_tiles_per_gaussian=64, max_pairs=16384,
+                compact_sort=False, small_slots=4, **ckw,
+            )
+            a = binning._pair_sort(
+                prep.mean2d, prep.depth, prep.radius, prep.visible,
+                emission="bucketed", big_capacity=64, **kw,
+            )
+            b = binning._pair_sort(
+                prep.mean2d, prep.depth, prep.radius, prep.visible,
+                emission="flat", **kw,
+            )
+            assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts)), cull
+            assert int(a.spill) == int(b.spill), cull
+            pa, pb = np.asarray(a.pair_ids), np.asarray(b.pair_ids)
+            for t in range(a.counts.shape[0]):
+                ca = int(a.counts[t])
+                sa, sb = int(a.starts[t]), int(b.starts[t])
+                assert sorted(pa[sa:sa + ca]) == sorted(pb[sb:sb + ca]), (
+                    cull, t)
+
     def test_bucketed_big_overflow_degrades_gracefully(self, rng):
         """Big Gaussians beyond the slot capacity keep their first
         small_slots tiles (partial coverage + counted spill) instead of
