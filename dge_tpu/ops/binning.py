@@ -514,40 +514,31 @@ def _bucketed_pair_keys(
     x0, y0, w, cnt, dq, vis, tiles_x, num_tiles, depth_bits, m1, m2, b2,
     mean2d=None, conic=None, opacity=None, tile_px=None,
 ):
-    """Three-tier (tile, Gaussian) key emission; returns (keys, ids,
+    """Two-tier (tile, Gaussian) key emission; returns (keys, ids,
     spill_slot, spill_cap). Exact up to the same per-Gaussian m2 cap as
-    the flat grid, plus capacity bounds on the mid/big populations
-    (overflow counted, never silent).
-
-    Tiers (round-5 restructure): small (cnt <= m1) emit into the dense
-    [N, m1] grid; MID (m1 < cnt <= m_mid=min(32, m2)) compact into a
-    [4*b2, m_mid] grid; big (cnt > m_mid) compact into [b2, m2]. At the
-    trained-1080p operating point (N=115k, slots 16 -> 8, mtg 64,
-    big 16384) this cuts sort rows ~2x vs the two-tier layout: the mids
-    (9..32 rect tiles) no longer force either small_slots growth or
-    m2-wide big rows. Mid/big Gaussians beyond their tier capacity
-    degrade gracefully to their first m1 tiles in the small grid (dense
-    densified scenes can have far more multi-tile Gaussians than any
-    fixed capacity; dropping them entirely corrupted training at the
+    the flat grid, plus a b2 capacity bound on how many 'large' Gaussians
+    exist (overflow counted, never silent). Big Gaussians beyond the b2
+    capacity degrade gracefully to their first m1 tiles in the small grid
+    (dense densified scenes can have far more multi-tile Gaussians than
+    any fixed capacity; dropping them entirely corrupted training at the
     256^2 fit operating point)."""
     cull = dict(mean2d=mean2d, conic=conic, opacity=opacity,
                 tile_px=tile_px)
     common = (x0, y0, w, cnt, dq, tiles_x, num_tiles, depth_bits)
-    m_mid = min(32, m2)
-    use_mid = m1 < m_mid < m2
-    if use_mid:
-        mid = vis & (cnt > m1) & (cnt <= m_mid)
-        big = vis & (cnt > m_mid)
-        # mid tier: cnt <= m_mid == slot count, so the full rect is always
-        # inspected (r_cap = m_mid) and the tier can never slot-spill
-        keys_m, ids_m, spill_m, over_m = _compact_tier(
-            mid, 4 * b2, m_mid, m_mid, *common, **cull)
-    else:
-        mid = jnp.zeros_like(vis)
-        big = vis & (cnt > m1)
-        keys_m = ids_m = None
-        spill_m = jnp.int32(0)
-        over_m = jnp.zeros_like(vis)
+    # A third MID tier (m1 < rect tiles <= 32, compacted like the big
+    # grid) was built and measured in round 5: it wins slightly where the
+    # mid population is a thin tail (trained 512^2: 14.99 vs 15.71 ms)
+    # but LOSES 11 ms at the flagship trained-1080p/tile32 cell (47.6 vs
+    # 36.4 ms) — at 1080p the 9..32-rect-tile class is ~half the scene
+    # (rect counts are pre-cull), so the tier either overflows (degrading
+    # to the small grid AND paying its rows) or balloons past the rows it
+    # saves. Deleted per the opt-in rule; classification by KEPT tiles
+    # would need the [N, R] cull mask the bucketed design exists to avoid.
+    mid = jnp.zeros_like(vis)
+    big = vis & (cnt > m1)
+    keys_m = ids_m = None
+    spill_m = jnp.int32(0)
+    over_m = jnp.zeros_like(vis)
     # 2*m2 candidate headroom so the ladder's max_tiles_per_gaussian
     # growth keeps buying inspected rect tiles past 256 (a rect larger
     # than r would otherwise spill its tail uninspected forever)

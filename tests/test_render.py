@@ -272,11 +272,12 @@ class TestBinningVariants:
             assert (np.diff(depth[ia]) > -1e-4).all(), t
             assert (np.diff(depth[ib]) > -1e-4).all(), t
 
-    def test_three_tier_emission_matches_flat(self, rng):
-        """The round-5 mid tier (m1 < cnt <= 32, compacted) must keep the
-        pair coverage identical to the flat [N, M] grid — same counts,
-        same per-tile pair sets, same spill — with and without culling.
-        Needs max_tiles_per_gaussian > 32 so the mid tier activates."""
+    def test_bucketed_emission_large_scales_matches_flat(self, rng):
+        """Bucketed emission parity at wide slot caps (mtg=64) on a scene
+        with an inflated large-Gaussian population — same counts, same
+        per-tile pair sets, same spill as the flat grid, with and without
+        culling. (Also the regression net for the deleted round-5 mid
+        tier: any emission restructure must keep this exact.)"""
         from dge_tpu.ops import binning, projection
 
         scene = make_random_scene(rng, n=256)
@@ -301,7 +302,7 @@ class TestBinningVariants:
             )
             a = binning._pair_sort(
                 prep.mean2d, prep.depth, prep.radius, prep.visible,
-                emission="bucketed", big_capacity=64, **kw,
+                emission="bucketed", big_capacity=256, **kw,
             )
             b = binning._pair_sort(
                 prep.mean2d, prep.depth, prep.radius, prep.visible,
