@@ -11,7 +11,9 @@ line at the very end; VERDICT r3 next-round item 1). The edit section is
 additionally wall-clock budgeted: set BENCH_BUDGET_S (default 900) and the
 expensive measured full round is skipped with
 extra["edit_measured"]="skipped:budget" when the remaining budget cannot
-cover it.
+cover it. Default budget 1100 s (was 900): round 5 added four render
+cells whose first-run ladder compiles cost ~5 min cold; warm-cache runs
+finish everything in ~500 s.
 
 ``vs_baseline`` compares the 1080p fps (extra.render_fps_1080p) against the
 only in-repo reference claim — >= 30 fps novel-view rendering at 1080p
@@ -46,7 +48,7 @@ import time
 import numpy as np
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 
 
 def _remaining():
@@ -612,10 +614,14 @@ def main():
             # tile32 lose, keeps the 4x-smaller per-pair pixel work, and
             # chunk 256 halves the dead grid steps over 2040 tiles). Start
             # caps = the ladder-converged set for the committed artifact.
+            # max_pairs 3*2^18: the culled stream is ~552k real pairs and
+            # the gather cost is proportional to the CAP, not the content
+            # — 768k keeps 40% headroom where the 2^20 power-of-two rung
+            # paid ~2x the gather (caps need not be powers of two)
             fps_t1, spill_t1, _ = bench_render_trained(
                 bg, height=1080, width=1920, tile_px=32, tight_cull=True,
                 start_caps=dict(mpt=2048, mtg=64, slots=16,
-                                max_pairs=1 << 20, big_capacity=16384,
+                                max_pairs=3 << 18, big_capacity=16384,
                                 chunk=256),
             )
             extra["render_fps_trained_1080p"] = round(fps_t1, 2)
