@@ -11,9 +11,12 @@ line at the very end; VERDICT r3 next-round item 1). The edit section is
 additionally wall-clock budgeted: set BENCH_BUDGET_S (default 900) and the
 expensive measured full round is skipped with
 extra["edit_measured"]="skipped:budget" when the remaining budget cannot
-cover it. Default budget 1100 s (was 900): round 5 added four render
-cells whose first-run ladder compiles cost ~5 min cold; warm-cache runs
-finish everything in ~500 s.
+cover it. Default budget 1500 s (was 900): round 5 added four render
+cells, and the edit-section UNet compiles re-pay ~60-100 s every run
+(the remote compile service does not fully cache them) — measured warm
+runs reach the measured-round gate at ~1020 s, so 1500 covers it with
+the two ~28 s round executions. Every section still emits its cumulative
+JSON line, so an external timeout never loses completed cells.
 
 ``vs_baseline`` compares the 1080p fps (extra.render_fps_1080p) against the
 only in-repo reference claim — >= 30 fps novel-view rendering at 1080p
@@ -48,7 +51,7 @@ import time
 import numpy as np
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1100"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def _remaining():
