@@ -240,7 +240,7 @@ def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
 
     fwd = make_fwd(caps)
     spill = None
-    for _ in range(6):
+    for _ in range(8):
         _, spill, parts = fwd(scene, cam_arr)
         if int(spill) == 0:
             break
@@ -263,8 +263,9 @@ def bench_render_trained(bg, ply=None, height=512, width=512, tile_px=32,
                       "ceilings — stopping ladder")
             break
         caps = new_caps
-        _progress(f"trained-scene spill {int(spill)} "
-                  f"(parts {[int(x) for x in parts]}): caps -> {caps}")
+        _progress(f"trained-scene spill {int(spill)} (parts "
+                  f"{None if parts is None else [int(x) for x in parts]}"
+                  f"): caps -> {caps}")
         fwd = make_fwd(caps)
     spill = int(spill)
 

@@ -534,16 +534,13 @@ def _bucketed_pair_keys(
     # to the small grid AND paying its rows) or balloons past the rows it
     # saves. Deleted per the opt-in rule; classification by KEPT tiles
     # would need the [N, R] cull mask the bucketed design exists to avoid.
-    mid = jnp.zeros_like(vis)
     big = vis & (cnt > m1)
-    keys_m = ids_m = None
-    spill_m = jnp.int32(0)
-    over_m = jnp.zeros_like(vis)
     # 2*m2 candidate headroom so the ladder's max_tiles_per_gaussian
     # growth keeps buying inspected rect tiles past 256 (a rect larger
     # than r would otherwise spill its tail uninspected forever)
     keys_b, ids_b, spill_b, over_b = _compact_tier(
         big, b2, m2, max(256, 2 * m2), *common, **cull)
+    overflowed = over_b
 
     n = cnt.shape[0]
     ids_all = jnp.arange(n, dtype=jnp.int32)
@@ -551,7 +548,7 @@ def _bucketed_pair_keys(
     wsafe = jnp.maximum(w, 1)[:, None]
     tx1 = x0[:, None] + j1[None, :] % wsafe
     ty1 = y0[:, None] + j1[None, :] // wsafe
-    in_small = vis & ((~mid & ~big) | over_m | over_b)
+    in_small = vis & (~big | overflowed)
     valid1 = (j1[None, :] < cnt[:, None]) & in_small[:, None]
     if conic is not None:
         valid1 &= _cull_valid(mean2d, conic, opacity, x0, y0, w, j1, tile_px)
@@ -559,19 +556,13 @@ def _bucketed_pair_keys(
     keys1 = (tid1 << depth_bits) | dq[:, None]
     ids1 = jnp.broadcast_to(ids_all[:, None], keys1.shape)
 
-    parts_k = [keys1.reshape(-1), keys_b.reshape(-1)]
-    parts_i = [ids1.reshape(-1), ids_b.reshape(-1)]
-    if keys_m is not None:
-        parts_k.insert(1, keys_m.reshape(-1))
-        parts_i.insert(1, ids_m.reshape(-1))
-    keys = jnp.concatenate(parts_k)
-    ids = jnp.concatenate(parts_i)
+    keys = jnp.concatenate([keys1.reshape(-1), keys_b.reshape(-1)])
+    ids = jnp.concatenate([ids1.reshape(-1), ids_b.reshape(-1)])
     # two gauss spill classes with different remedies: slot overflow
     # (tiles beyond m2 -> grow max_tiles_per_gaussian) vs capacity
     # overflow (mid/big Gaussians beyond their tier capacity, truncated
     # to their first m1 tiles -> grow big_capacity / small_slots)
-    spill_slot = spill_b + spill_m
-    overflowed = over_m | over_b
+    spill_slot = spill_b
     spill_cap = jnp.sum(
         jnp.where(overflowed, jnp.maximum(cnt - m1, 0), 0))
     return keys, ids, spill_slot, spill_cap

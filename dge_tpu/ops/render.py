@@ -374,7 +374,7 @@ class SpillFreeRenderer:
     (grow_caps + RenderOut.spill_parts).
     """
 
-    def __init__(self, scene, bg=None, *, log=None, max_grow=6, **render_kw):
+    def __init__(self, scene, bg=None, *, log=None, max_grow=8, **render_kw):
         self._scene = scene
         self._bg = bg
         self._max_grow = max_grow

@@ -307,38 +307,37 @@ class FitLoop:
         else:
             wants = [True] * 4
         grew = False
-        for attempt_wants in [wants]:
-            want_slot, want_cap, want_tile, want_stream = attempt_wants
-            if want_slot and self.max_tiles_per_gaussian < 256:
-                # honest (post-cull) per-Gaussian spill that persists means
-                # big splats genuinely intersect more tiles than the cap
-                self.max_tiles_per_gaussian *= 2
-                grew = True
-            if want_tile and self.max_per_tile < 1 << 15:
-                self.max_per_tile *= 2
-                grew = True
-            auto_pairs = max(1 << 18,
-                             1 << int(2 * capacity - 1).bit_length())
-            new_pairs = max(self.max_pairs or auto_pairs, auto_pairs) * 2
-            if want_stream and new_pairs <= 1 << 22:
-                self.max_pairs = new_pairs
-                grew = True
-            auto_big = 1 << max(int(capacity // 32 - 1).bit_length(), 6)
-            new_big = max(self.big_capacity or auto_big, auto_big) * 2
-            if want_cap and new_big <= capacity:
-                self.big_capacity = new_big
-                grew = True
-            if want_cap and self.small_slots < 32:
-                # a flooded big grid usually means the whole population
-                # moved up a rect-size class (e.g. a high-res fit: median
-                # rect is 6 tiles at 1080p) — raising the small/big
-                # threshold is far cheaper than big_capacity x2 forever
-                # (rows: N*slots vs big_cap*max_tiles)
-                self.small_slots *= 2
-                grew = True
-            # no fallback to unrelated classes when the attributed ones
-            # are at ceilings: that spill is irreducible (e.g. a needle
-            # spanning >256 tiles) and growing other caps cannot help
+        want_slot, want_cap, want_tile, want_stream = wants
+        if want_slot and self.max_tiles_per_gaussian < 256:
+            # honest (post-cull) per-Gaussian spill that persists means
+            # big splats genuinely intersect more tiles than the cap
+            self.max_tiles_per_gaussian *= 2
+            grew = True
+        if want_tile and self.max_per_tile < 1 << 15:
+            self.max_per_tile *= 2
+            grew = True
+        auto_pairs = max(1 << 18,
+                         1 << int(2 * capacity - 1).bit_length())
+        new_pairs = max(self.max_pairs or auto_pairs, auto_pairs) * 2
+        if want_stream and new_pairs <= 1 << 22:
+            self.max_pairs = new_pairs
+            grew = True
+        auto_big = 1 << max(int(capacity // 32 - 1).bit_length(), 6)
+        new_big = max(self.big_capacity or auto_big, auto_big) * 2
+        if want_cap and new_big <= capacity:
+            self.big_capacity = new_big
+            grew = True
+        if want_cap and self.small_slots < 32:
+            # a flooded big grid usually means the whole population
+            # moved up a rect-size class (e.g. a high-res fit: median
+            # rect is 6 tiles at 1080p) — raising the small/big
+            # threshold is far cheaper than big_capacity x2 forever
+            # (rows: N*slots vs big_cap*max_tiles)
+            self.small_slots *= 2
+            grew = True
+        # no fallback to unrelated classes when the attributed ones are
+        # at ceilings: that spill is irreducible (e.g. a needle spanning
+        # >256 tiles) and growing other caps cannot help
         if grew:
             self.__post_init__()
         return grew

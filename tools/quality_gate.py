@@ -131,7 +131,19 @@ system:
         sys.exit("[quality_gate] local edit FAILED")
     edited_ply = _newest(os.path.join(out_root, "localedit", "*",
                                       "last.ply"))
+    return local_eval(args, ply, edited_ply)
 
+
+def local_eval(args, ply: str, edited_ply: str) -> dict:
+    """Spill-free render comparison of original vs edited scene inside /
+    outside the center-disk mask (the invariant that defines local
+    editing). Callable standalone via --local-eval to re-score existing
+    artifacts."""
+    import numpy as np
+
+    src = os.path.join(REPO, "outputs", "fit_capture")
+    h = w = 256
+    disk = _disk_mask(h, w)
     # render original vs edited on 4 eval views; compare inside/outside
     # the lifted mask region
     sys.path.insert(0, REPO)
@@ -147,16 +159,25 @@ system:
     edited = G.load_ply(edited_ply)
     cams = DS.ColmapScene(src, height=h, width=w).cameras
     bg = jnp.zeros(3, jnp.float32)
-    fwd = jax.jit(lambda s, c: R.render(
-        s, c, bg, tile_px=32, max_per_tile=4096,
-        backend="pallas_stream"
-        if jax.default_backend() in ("tpu", "axon") else "jnp").color)
+    # eval renders must be spill-free (CLAUDE.md rule: a fitted scene at
+    # fixed caps silently truncates — the first gate run rendered at
+    # mpt=4096 while the fit had grown past it)
+    backend = ("pallas_stream"
+               if jax.default_backend() in ("tpu", "axon") else "jnp")
+    r_orig = R.SpillFreeRenderer(orig, bg, tile_px=32, backend=backend)
+    r_edit = R.SpillFreeRenderer(edited, bg, tile_px=32, backend=backend)
+    probe_cam = CameraArrays.from_camera(cams[0])
+    assert r_orig.probe(probe_cam) == 0, "orig render still spills"
+    assert r_edit.probe(probe_cam) == 0, "edited render still spills"
     un_psnrs, in_deltas = [], []
     dm = disk > 0.5
     for cam in cams[::4][:4]:
         ca = CameraArrays.from_camera(cam)
-        a = np.asarray(fwd(orig, ca))
-        b = np.asarray(fwd(edited, ca))
+        a_img, sp_a = r_orig(ca)
+        b_img, sp_b = r_edit(ca)
+        assert sp_a == 0 and sp_b == 0, (sp_a, sp_b)
+        a = np.asarray(a_img)
+        b = np.asarray(b_img)
         d = np.abs(a - b).mean(-1)
         out_mse = float((((a - b) ** 2).mean(-1))[~dm].mean())
         un_psnrs.append(-10.0 * np.log10(max(out_mse, 1e-12)))
@@ -194,6 +215,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ply", default=None,
                     help="reuse a fitted PLY (skip the fit+validate part; "
                     "only meaningful with --local)")
+    ap.add_argument("--local-eval", nargs=2, metavar=("ORIG", "EDITED"),
+                    default=None,
+                    help="re-score an existing local-edit artifact pair "
+                    "(spill-free renders) without re-running the edit")
     ap.add_argument(
         "--quick", action="store_true",
         help="per-round tripwire: 1500 steps, gate 28 dB (measured on TPU "
@@ -223,6 +248,9 @@ def main(argv=None) -> int:
     out_root = os.path.join(args.out, stamp)
     os.makedirs(out_root, exist_ok=True)
 
+    if args.local_eval:
+        res = local_eval(args, args.local_eval[0], args.local_eval[1])
+        return 0 if res["local_pass"] else 1
     if args.local and args.ply:
         # local gate only, on an existing fitted scene
         res = run_local_gate(args, args.ply, out_root)

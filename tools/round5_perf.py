@@ -193,7 +193,6 @@ def run_stages(scene, cam, caps, tile_px, label, chunk=128):
     _timeit("gather 16-row (legacy)", g_legacy, gv)
     _timeit("gather 10-row (slim)", g_slim, gv)
 
-    data = g_legacy(*gv[0])
     tiles_x = int(bins.tiles_x)
     tiles_y = int(bins.tiles_y)
     bg = jnp.zeros(3, jnp.float32)

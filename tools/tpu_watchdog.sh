@@ -55,8 +55,22 @@ for attempt in 1 2 3 4 5; do
   done
   if [ $ok -eq 0 ] && ! all_futex $PID; then
     # 8 min, quiet, but not futex-parked: likely a long remote compile.
-    echo "[watchdog] 8 min silent but not all-futex — assuming compile" >> "$LOG.wd"
-    ok=1
+    # Do NOT wait unconditionally (a socket-wedged process would hang the
+    # watchdog itself) — grant up to 20 more minutes, still watching for
+    # output, exit, or a futex park.
+    echo "[watchdog] 8 min silent but not all-futex — granting compile grace" >> "$LOG.wd"
+    for i in $(seq 1 40); do
+      sleep 30
+      if ! kill -0 $PID 2>/dev/null; then ok=2; break; fi
+      lines=$(grep -vc "xla_bridge\|experimental" "$LOG" 2>/dev/null)
+      lines=${lines:-0}
+      if [ "$lines" -ge 2 ]; then ok=1; break; fi
+      if all_futex $PID; then ok=3; break; fi
+    done
+    if [ $ok -eq 0 ]; then
+      echo "[watchdog] still silent after 28 min total — killing" >> "$LOG.wd"
+      ok=3
+    fi
   fi
   if [ $ok -eq 1 ]; then
     echo "[watchdog] progress detected, waiting for completion" >> "$LOG.wd"
